@@ -1,0 +1,3 @@
+from yolov8_vit_tpu.models.vit import ViT, ViTClassifier, VIT_B8_224  # noqa: F401
+from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS  # noqa: F401
+from yolov8_vit_tpu.models.two_stage import TwoStagePipeline  # noqa: F401

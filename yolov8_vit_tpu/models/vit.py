@@ -1,0 +1,127 @@
+"""Vision Transformer classifier stack (pure JAX / flax.linen, NHWC).
+
+Capability parity with the reference's stage-2 classifier: a timm
+`vit_base_patch8_224.augreg_in21k` backbone (num_classes=1000) wrapped by a
+custom MLP head ReLU -> Linear(1000, 128) -> ReLU -> Linear(128, num_class)
+(`/root/reference/utils/utils.py:59-87`,
+`/root/reference/utils/class_config.py:21`).
+
+Architecture notes (timm augreg ViT-B/8):
+  patch conv 8x8/8 -> 784 tokens, +cls token = 785; learned pos-embed;
+  12 pre-norm blocks (dim 768, 12 heads, MLP ratio 4, GELU, LN eps 1e-6);
+  final LN; classifier reads the cls token.
+
+TPU-first choices: NHWC patchify as a conv (MXU), fused QKV projection as a
+single (D, 3D) matmul, attention via einsum with fp32 accumulation,
+optionally bf16 activations/weights.  Sequence length 785 is static, so the
+whole forward jits once.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTSpec:
+    img_size: int = 224
+    patch: int = 8
+    dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    backbone_classes: int = 1000       # timm head size the wrapper consumes
+    ln_eps: float = 1e-6
+
+    @property
+    def tokens(self) -> int:
+        return (self.img_size // self.patch) ** 2 + 1
+
+
+VIT_B8_224 = ViTSpec()
+VIT_B16_224 = ViTSpec(patch=16)
+
+
+class Attention(nn.Module):
+    spec: ViTSpec
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.spec
+        b, t, d = x.shape
+        head_dim = d // s.heads
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, t, 3, s.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = head_dim ** -0.5
+        attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(b, t, d)
+        return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    spec: ViTSpec
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.spec
+        h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(s, dtype=self.dtype, name="attn")(h)
+        h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(s.dim * s.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(s.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class ViT(nn.Module):
+    """Backbone + timm-style classifier head (the `model` in the wrapper)."""
+    spec: ViTSpec = VIT_B8_224
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        """img: (B, H, W, 3) float in [-1, 1] -> (B, backbone_classes) logits."""
+        s = self.spec
+        b = img.shape[0]
+        x = nn.Conv(s.dim, kernel_size=(s.patch, s.patch),
+                    strides=(s.patch, s.patch), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(img)
+        x = x.reshape(b, -1, s.dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, s.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, s.dim)).astype(x.dtype), x],
+                            axis=1)
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(stddev=0.02), (1, s.tokens, s.dim))
+        x = x + pos.astype(x.dtype)
+        for i in range(s.depth):
+            x = Block(s, dtype=self.dtype, name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(s.backbone_classes, dtype=self.dtype, name="head")(x[:, 0])
+
+
+class ViTClassifier(nn.Module):
+    """Network_Wrapper parity: backbone logits -> ReLU -> 128 -> ReLU -> nc.
+
+    (`/root/reference/utils/utils.py:62-69`)
+    """
+    spec: ViTSpec = VIT_B8_224
+    num_classes: int = 5
+    hidden: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        feats = ViT(self.spec, dtype=self.dtype, name="model")(img)
+        h = nn.relu(feats)
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(h)
+        h = nn.relu(h)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(h)

@@ -1,0 +1,222 @@
+"""YOLOv8 detection stack (flax.linen, NHWC) for all size variants.
+
+Capability parity with the engine the reference builds layer-by-layer in
+TensorRT — Conv(+SiLU), C2f (split + n Bottlenecks + concat), SPPF backbone,
+PAN neck, decoupled DFL detect head
+(`/root/reference/docs/YOLO_TensorRT_Technical.md:160-221`,
+`/root/reference/tech.md:39-47`) — re-designed as an idiomatic XLA program:
+NHWC convs on the MXU, SiLU fused into the conv epilogue by XLA (the TRT
+build fuses conv+sigmoid+mul manually, `:179-184`), static shapes per input
+size, anchors baked as constants.
+
+Two parameter layouts:
+  fused=True  (inference): conv carries a bias, BN already folded — the
+              layout checkpoint converters emit, mirroring how ultralytics
+              fuses BN at export (SURVEY.md §7 "weight conversion fidelity").
+  fused=False (training):  conv(no bias) + BatchNorm (momentum .03/eps 1e-3,
+              ultralytics defaults) for from-scratch/fine-tune training.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class YOLOv8Spec:
+    depth: float
+    width: float
+    max_channels: int
+    num_classes: int = 5
+    reg_max: int = 16
+    strides: tuple[int, ...] = (8, 16, 32)
+
+
+YOLOV8_VARIANTS: dict[str, YOLOv8Spec] = {
+    "n": YOLOv8Spec(0.33, 0.25, 1024),
+    "s": YOLOv8Spec(0.33, 0.50, 1024),
+    "m": YOLOv8Spec(0.67, 0.75, 768),
+    "l": YOLOv8Spec(1.00, 1.00, 512),
+    "x": YOLOv8Spec(1.00, 1.25, 512),
+}
+
+
+def _make_divisible(x: float, div: int = 8) -> int:
+    return max(div, int(x + div / 2) // div * div)
+
+
+def _ch(c: int, spec: YOLOv8Spec) -> int:
+    return _make_divisible(min(c, spec.max_channels) * spec.width)
+
+
+def _n(n: int, spec: YOLOv8Spec) -> int:
+    return max(round(n * spec.depth), 1)
+
+
+class ConvBlock(nn.Module):
+    """Conv + (BN) + SiLU."""
+    out: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.k // 2
+        x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
+                    padding=[(p, p), (p, p)], feature_group_count=self.g,
+                    use_bias=self.fused, name="conv")(x)
+        if not self.fused:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, name="bn")(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    out: int
+    shortcut: bool = True
+    e: float = 1.0       # C2f uses expansion 1.0 inside bottlenecks
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out * self.e)
+        y = ConvBlock(hidden, 3, fused=self.fused, name="cv1")(x, train)
+        y = ConvBlock(self.out, 3, fused=self.fused, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.out:
+            y = x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial fusion block (split + n bottlenecks + concat)."""
+    out: int
+    n: int = 1
+    shortcut: bool = False
+    e: float = 0.5
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.out * self.e)
+        y = ConvBlock(2 * c, 1, fused=self.fused, name="cv1")(x, train)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            parts.append(Bottleneck(c, self.shortcut, fused=self.fused,
+                                    name=f"m{i}")(parts[-1], train))
+        y = jnp.concatenate(parts, axis=-1)
+        return ConvBlock(self.out, 1, fused=self.fused, name="cv2")(y, train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained 5x5 stride-1 maxpools."""
+    out: int
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1] // 2
+        y = ConvBlock(c, 1, fused=self.fused, name="cv1")(x, train)
+        pools = [y]
+        for _ in range(3):
+            pools.append(nn.max_pool(pools[-1], (5, 5), strides=(1, 1),
+                                     padding=[(2, 2), (2, 2)]))
+        y = jnp.concatenate(pools, axis=-1)
+        return ConvBlock(self.out, 1, fused=self.fused, name="cv2")(y, train)
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x upsample (PAN neck top-down path)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class DetectHead(nn.Module):
+    """Decoupled anchor-free head: box-DFL branch + cls branch per level."""
+    spec: YOLOv8Spec
+    in_channels: Sequence[int]
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        s = self.spec
+        c2 = max(16, self.in_channels[0] // 4, s.reg_max * 4)
+        c3 = max(self.in_channels[0], min(s.num_classes, 100))
+        outs = []
+        for i, f in enumerate(feats):
+            b = ConvBlock(c2, 3, fused=self.fused, name=f"box{i}_0")(f, train)
+            b = ConvBlock(c2, 3, fused=self.fused, name=f"box{i}_1")(b, train)
+            b = nn.Conv(4 * s.reg_max, (1, 1), name=f"box{i}_2")(b)
+            c = ConvBlock(c3, 3, fused=self.fused, name=f"cls{i}_0")(f, train)
+            c = ConvBlock(c3, 3, fused=self.fused, name=f"cls{i}_1")(c, train)
+            c = nn.Conv(s.num_classes, (1, 1), name=f"cls{i}_2")(c)
+            outs.append((b, c))
+        return outs
+
+
+class YOLOv8(nn.Module):
+    """Backbone + PAN neck + detect head.
+
+    __call__ returns per-level (box_dist (B,H,W,4*reg_max),
+    cls_logits (B,H,W,nc)) tuples — raw head outputs, shared by the training
+    loss and the inference decode (`decode_predictions` in
+    yolov8_vit_tpu/runtime/detector.py composes DFL + sigmoid + NMS).
+    """
+    spec: YOLOv8Spec
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, img, train: bool = False):
+        s, fused = self.spec, self.fused
+
+        def conv(c, k, st, name):
+            return ConvBlock(_ch(c, s), k, st, fused=fused, name=name)
+
+        def c2f(c, n, sc, name):
+            return C2f(_ch(c, s), _n(n, s), sc, fused=fused, name=name)
+
+        x = conv(64, 3, 2, "b0")(img, train)                 # P1
+        x = conv(128, 3, 2, "b1")(x, train)                  # P2
+        x = c2f(128, 3, True, "b2")(x, train)
+        x = conv(256, 3, 2, "b3")(x, train)                  # P3
+        p3 = c2f(256, 6, True, "b4")(x, train)
+        x = conv(512, 3, 2, "b5")(p3, train)                 # P4
+        p4 = c2f(512, 6, True, "b6")(x, train)
+        x = conv(1024, 3, 2, "b7")(p4, train)                # P5
+        x = c2f(1024, 3, True, "b8")(x, train)
+        p5 = SPPF(_ch(1024, s), fused=fused, name="b9")(x, train)
+
+        # PAN neck: top-down
+        x = jnp.concatenate([_upsample2x(p5), p4], axis=-1)
+        n4 = c2f(512, 3, False, "n12")(x, train)
+        x = jnp.concatenate([_upsample2x(n4), p3], axis=-1)
+        n3 = c2f(256, 3, False, "n15")(x, train)             # P3 out
+        # bottom-up
+        x = conv(256, 3, 2, "n16")(n3, train)
+        x = jnp.concatenate([x, n4], axis=-1)
+        o4 = c2f(512, 3, False, "n18")(x, train)             # P4 out
+        x = conv(512, 3, 2, "n19")(o4, train)
+        x = jnp.concatenate([x, p5], axis=-1)
+        o5 = c2f(1024, 3, False, "n21")(x, train)            # P5 out
+
+        head_in = [_ch(256, s), _ch(512, s), _ch(1024, s)]
+        return DetectHead(s, head_in, fused=fused,
+                          name="detect")([n3, o4, o5], train)
+
+
+def flatten_head_outputs(outs):
+    """Per-level NHWC head maps -> (B, A, 4*reg_max), (B, A, nc).
+
+    Anchor order matches `make_anchors`: level-major, row-major, x fastest.
+    """
+    box, cls = [], []
+    for b, c in outs:
+        bs = b.shape[0]
+        box.append(b.reshape(bs, -1, b.shape[-1]))
+        cls.append(c.reshape(bs, -1, c.shape[-1]))
+    return jnp.concatenate(box, axis=1), jnp.concatenate(cls, axis=1)

@@ -1,0 +1,52 @@
+"""Batched crop-and-resize for the second stage, as one gather.
+
+The reference crops each detected box from the original image with PIL and
+resizes to 224x224 with cv2 INTER_NEAREST, one box at a time on the host
+(`/root/reference/utils/trainClass.py:70-93`, `/root/reference/app.py:39-42`).
+Here all K padded boxes of an image are cropped in a single dynamic gather
+with static output shape (K, 224, 224, C) — invalid slots gather garbage that
+is masked downstream, keeping the whole two-stage pipeline inside one jit.
+
+Nearest-source-index contract: PIL `crop` takes integer box corners and cv2
+INTER_NEAREST maps dst->src as floor(dst * src/dst); for an integer box
+(x1, y1, x2, y2) with w = x2-x1 we compute the exact rational form
+
+    src_x(dst_x) = x1 + min(floor(dst_x * w // 224), w - 1)
+
+in int32 (box sizes are dynamic, so we cannot pre-bake float64 index tables
+the way ops/resize.py does).  cv2 itself evaluates the same quantity in
+double precision with two roundings, which can differ by one source pixel
+when dst_x*w is an exact multiple of 224 — tests pin our mapping as the
+golden one and bound the cv2 deviation to those boundary pixels.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax
+
+
+def crop_and_resize_nearest(img: jnp.ndarray, boxes: jnp.ndarray,
+                            out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Crop integer xyxy `boxes` (K, 4) from `img` (H, W, C) -> (K, h, w, C).
+
+    Boxes are int32 pixel coords, already clamped to the image.  Empty or
+    degenerate boxes (w<=0) produce all-[0,0] gathers — callers mask them.
+    """
+    out_h, out_w = out_hw
+    h, w = img.shape[0], img.shape[1]
+    boxes = boxes.astype(jnp.int32)
+
+    def one(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        bw = jnp.maximum(x2 - x1, 1)
+        bh = jnp.maximum(y2 - y1, 1)
+        dx = jnp.arange(out_w, dtype=jnp.int32)
+        dy = jnp.arange(out_h, dtype=jnp.int32)
+        # cv2 INTER_NEAREST: floor(dst * src/dst_size), clamped to src-1
+        sx = x1 + jnp.minimum((dx * bw) // out_w, bw - 1)
+        sy = y1 + jnp.minimum((dy * bh) // out_h, bh - 1)
+        sx = jnp.clip(sx, 0, w - 1)
+        sy = jnp.clip(sy, 0, h - 1)
+        return img[sy[:, None], sx[None, :], :]
+
+    return jax.vmap(one)(boxes)

@@ -1,0 +1,57 @@
+"""Aspect-preserving resize + pad ("letterbox") as a jitted XLA op.
+
+Behavioral parity with the reference host-side letterbox (triple-Mu
+`models/utils.py`, pinned by `/root/reference/YOLOTensorRT_yolodet_py_解读.md:67-78`):
+
+    r        = min(W_out/w, H_out/h)
+    new_wh   = (round(w*r), round(h*r))
+    dw, dh   = (W_out-new_w)/2, (H_out-new_h)/2
+    top,bot  = round(dh-0.1), round(dh+0.1)
+    left,rt  = round(dw-0.1), round(dw+0.1)
+    pad value 114, bilinear resize
+
+Returns (image, ratio, (dw, dh)); detections are later un-letterboxed with
+`bboxes -= dwdh; bboxes /= ratio` (same doc, :89-92).
+
+Shapes are static per input size: XLA compiles one program per unique input
+resolution (cached), which is the TPU-idiomatic replacement for the
+per-image cv2 calls of the reference.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from yolov8_vit_tpu.ops.resize import resize_bilinear
+
+
+def letterbox_params(in_hw: tuple[int, int], out_hw: tuple[int, int]):
+    """Static letterbox geometry: (new_h, new_w, ratio, dw, dh, top, left)."""
+    h, w = in_hw
+    out_h, out_w = out_hw
+    r = min(out_w / w, out_h / h)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    dw, dh = (out_w - new_w) / 2.0, (out_h - new_h) / 2.0
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    return new_h, new_w, r, dw, dh, top, left
+
+
+def letterbox(img: jnp.ndarray, out_hw: tuple[int, int],
+              pad_value: int = 114):
+    """Letterbox (H, W, C) [or batched (..., H, W, C)] to out_hw.
+
+    Returns (padded image, ratio: float, dwdh: (dw, dh) floats).  Ratio/dwdh
+    are Python floats (static — they depend only on shapes), so downstream
+    un-letterboxing folds into the jitted graph as constants.
+    """
+    out_h, out_w = out_hw
+    h, w = img.shape[-3], img.shape[-2]
+    new_h, new_w, r, dw, dh, top, left = letterbox_params((h, w), out_hw)
+
+    resized = img if (new_h, new_w) == (h, w) else resize_bilinear(img, (new_h, new_w))
+    pad_cfg = [(0, 0)] * (img.ndim - 3) + [
+        (top, out_h - new_h - top),
+        (left, out_w - new_w - left),
+        (0, 0),
+    ]
+    padded = jnp.pad(resized, pad_cfg, constant_values=pad_value)
+    return padded, r, (dw, dh)

@@ -1,0 +1,72 @@
+"""Image resize ops with exact OpenCV index semantics, as XLA gathers.
+
+The reference resizes classifier crops with `A.Resize(224, 224,
+interpolation=cv2.INTER_NEAREST)` (`/root/reference/utils/trainClass.py:200,219`,
+`/root/reference/app.py:39-42`) and letterboxes detector input with cv2
+INTER_LINEAR (triple-Mu letterbox, documented at
+`/root/reference/YOLOTensorRT_yolodet_py_解读.md:67-78`).  Numerical parity of
+boxes/classes therefore requires reproducing cv2's source-index mapping:
+
+  - INTER_NEAREST:  sx = floor(dx * src/dst)           (no half-pixel shift)
+  - INTER_LINEAR:   sx = (dx + 0.5) * src/dst - 0.5    (half-pixel centers,
+                    edge-clamped)
+
+Both are implemented as static-shape gathers so they fuse into the jitted
+pipeline; under vmap they batch cleanly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _nearest_indices(dst: int, src: int) -> np.ndarray:
+    # cv2 INTER_NEAREST computes sx = floor(dx * ifx) with
+    # ifx = 1.0 / ((double)dst / src) — two double roundings.  Emulate that
+    # exactly (host numpy is float64) so uint8 outputs are bit-identical.
+    ifx = 1.0 / (dst / src)
+    idx = np.floor(np.arange(dst) * ifx).astype(np.int32)
+    return np.minimum(idx, src - 1)
+
+
+def resize_nearest(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Resize (..., H, W, C) to (..., h, w, C) with cv2-INTER_NEAREST semantics."""
+    h2, w2 = out_hw
+    h, w = img.shape[-3], img.shape[-2]
+    ri = _nearest_indices(h2, h)
+    ci = _nearest_indices(w2, w)
+    return img[..., ri[:, None], ci[None, :], :]
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Resize (..., H, W, C) to (..., h, w, C) with cv2-INTER_LINEAR semantics.
+
+    Half-pixel centers with edge clamping; float accumulation.  Matches cv2
+    on float inputs to ~1e-6 and on uint8 within rounding.
+    """
+    h2, w2 = out_hw
+    h, w = img.shape[-3], img.shape[-2]
+    out_dtype = img.dtype
+    x = img.astype(jnp.float32)
+
+    def coords(dst: int, src: int):
+        c = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+        c0 = np.floor(c)
+        frac = (c - c0).astype(np.float32)
+        i0 = np.clip(c0, 0, src - 1).astype(np.int32)
+        i1 = np.clip(c0 + 1, 0, src - 1).astype(np.int32)
+        return i0, i1, frac
+
+    r0, r1, rf = coords(h2, h)
+    c0, c1, cf = coords(w2, w)
+    rf = jnp.asarray(rf)[:, None, None]
+    cf = jnp.asarray(cf)[None, :, None]
+
+    top = x[..., r0[:, None], c0[None, :], :] * (1 - cf) \
+        + x[..., r0[:, None], c1[None, :], :] * cf
+    bot = x[..., r1[:, None], c0[None, :], :] * (1 - cf) \
+        + x[..., r1[:, None], c1[None, :], :] * cf
+    out = top * (1 - rf) + bot * rf
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        out = jnp.round(out)
+    return out.astype(out_dtype)

@@ -1,0 +1,35 @@
+"""Detection decode: raw YOLOv8 head outputs -> NMS'd detections.
+
+Equivalent of what the reference bakes into the TensorRT engine after the
+backbone (DFL decode + EfficientNMS plugin,
+`/root/reference/docs/YOLO_TensorRT_Technical.md:53-151`) — here it is just
+more XLA ops in the same jitted graph.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from yolov8_vit_tpu.config import DetectConfig
+from yolov8_vit_tpu.models.yolov8 import flatten_head_outputs
+from yolov8_vit_tpu.ops import dfl_decode, make_anchors, efficient_nms
+
+
+def decode_predictions(head_outputs, cfg: DetectConfig):
+    """Per-level head maps -> (num_dets, boxes, scores, labels), batched.
+
+    Boxes are xyxy in letterboxed-input pixels, padded to cfg.nms_topk rows
+    (the engine's fixed 'num_dets/bboxes/scores/labels' output contract,
+    `/root/reference/app.py:29`).
+    """
+    box_dist, cls_logits = flatten_head_outputs(head_outputs)
+    anchors, stride = make_anchors(cfg.input_size, cfg.strides)
+    boxes = dfl_decode(box_dist, anchors, stride, cfg.reg_max)
+    scores = jax.nn.sigmoid(cls_logits)
+
+    def one(b, s):
+        return efficient_nms(
+            b, s, iou_threshold=cfg.nms_iou, score_threshold=cfg.nms_conf,
+            max_output=cfg.nms_topk, pre_topk=cfg.nms_pre_topk)
+
+    return jax.vmap(one)(boxes, scores)
