@@ -12,3 +12,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 # determinstic, quiet
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+# persistent XLA compile cache: CPU compiles are ~seconds per op here, so
+# every jitted graph must compile at most once across the whole suite
+from yolov8_vit_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

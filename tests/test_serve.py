@@ -1,0 +1,168 @@
+"""Service-contract tests: replay the reference app's routes against the
+stdlib WSGI service (SURVEY.md §4 plan (d))."""
+import json
+import os
+import threading
+import time
+import urllib.request
+from wsgiref.simple_server import make_server, WSGIRequestHandler
+
+import numpy as np
+import cv2
+import pytest
+
+from yolov8_vit_tpu.serve.app import InspectionService
+
+
+class _Quiet(WSGIRequestHandler):
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture
+def service(tmp_path):
+    calls = {"retrain": 0}
+
+    def retrain_fn(log):
+        calls["retrain"] += 1
+
+    svc = InspectionService(workdir=str(tmp_path), retrain_fn=retrain_fn)
+    svc._test_calls = calls
+    httpd = make_server("127.0.0.1", 0, svc.wsgi, handler_class=_Quiet)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield svc, f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.read()
+
+
+def test_root_requires_post_payload(service):
+    svc, base = service
+    out = json.loads(_get(base + "/"))
+    assert "错误" in out
+
+
+def test_get_config_roundtrip(service):
+    svc, base = service
+    cfg = json.loads(_get(base + "/getConfig"))
+    assert cfg["num"] == 0 and "standard" in cfg
+    out = _post(base + "/getConfig", {"standard": 5,
+                                      "class_config": {"epoch": 3},
+                                      "detect_config": {}})
+    assert out == {"state": "修改成功"}
+    cfg = json.loads(_get(base + "/getConfig"))
+    assert cfg["standard"] == 5 and cfg["class_config"]["epoch"] == 3
+
+
+def test_get_image_ingests_label_and_counts(service, tmp_path):
+    svc, base = service
+    # serve a local image over the same HTTP server? simpler: file:// is not
+    # supported by download_images (requests); spin a tiny file server.
+    img_dir = tmp_path / "srv"
+    img_dir.mkdir()
+    img = np.zeros((50, 60, 3), np.uint8)
+    cv2.imwrite(str(img_dir / "cover.jpg"), img)
+
+    import functools
+    import http.server
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(img_dir))
+    fs = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    fs_port = fs.server_address[1]
+    threading.Thread(target=fs.serve_forever, daemon=True).start()
+    try:
+        out = _post(base + "/getImage", {
+            "imageUrl": f"http://127.0.0.1:{fs_port}/cover.jpg",
+            "objects": [{"sort": "good", "xmin": 1, "ymin": 2,
+                         "xmax": 30, "ymax": 40}]})
+        assert "url" in out
+        # annotation written to train/new
+        xml = os.path.join(svc.workdir, "train/new/cover.xml")
+        for _ in range(50):
+            if os.path.exists(xml):
+                break
+            time.sleep(0.1)
+        assert os.path.exists(xml)
+        # counter bumped (async)
+        for _ in range(50):
+            if svc.config.read()["num"] == 1:
+                break
+            time.sleep(0.1)
+        assert svc.config.read()["num"] == 1
+    finally:
+        fs.shutdown()
+
+
+def test_retrain_fires_at_standard(service):
+    svc, base = service
+    svc.config.update(standard=2, num=1)
+    num, due = svc.config.bump_and_check()
+    assert due and num == 0
+
+
+def test_train_now_guard(service):
+    svc, base = service
+    svc.training_epochs_left = 5
+    out = _post(base + "/trainNow", {})
+    assert out == {"state": "模型正在运行"}
+    svc.training_epochs_left = 0
+    out = _post(base + "/trainNow", {})
+    assert out == {"state": "启动成功"}
+    # wait for async retrain thread to run
+    for _ in range(50):
+        if svc._test_calls["retrain"] == 1:
+            break
+        time.sleep(0.1)
+    assert svc._test_calls["retrain"] == 1
+
+
+def test_chart_data_streams_sse(service):
+    svc, base = service
+    req = urllib.request.Request(base + "/chart-data")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        line = r.readline().decode()
+        assert line.startswith("data:")
+        payload = json.loads(line[5:])
+        assert "value1" in payload and "value2" in payload
+
+
+def test_chart_data_prefers_real_metrics(service):
+    svc, base = service
+    os.makedirs(os.path.dirname(svc.metrics_path), exist_ok=True)
+    with open(svc.metrics_path, "w") as f:
+        json.dump({"3": {"train_acc": 88.0, "val_acc": 77.0,
+                         "loss": 0.5}}, f)
+    with urllib.request.urlopen(base + "/chart-data", timeout=10) as r:
+        payload = json.loads(r.readline().decode()[5:])
+    assert payload == {"time": 3, "value1": 88.0, "value2": 77.0}
+
+
+def test_logs_page_and_404(service):
+    svc, base = service
+    page = _get(base + "/logs").decode()
+    assert "EventSource" in page
+    try:
+        _get(base + "/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_map_page(service):
+    svc, base = service
+    page = _get(base + "/map?location=beijing").decode()
+    assert "markers" in page

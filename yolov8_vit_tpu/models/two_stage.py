@@ -1,0 +1,165 @@
+"""Fused two-stage pipeline: detect -> NMS -> inflate -> crop -> classify.
+
+The reference runs this as a per-image Python loop with per-crop bs=1 ViT
+forwards and multiple host<->device round-trips (`/root/reference/app.py:61`,
+call stack in SURVEY.md §3.1).  Here it is ONE jitted XLA program over a
+batch of images:
+
+  images (B, H, W, 3) u8
+    -> letterbox 640 (bilinear, cv2 semantics)          [ops.letterbox]
+    -> YOLOv8 forward (NHWC, MXU)                       [models.yolov8]
+    -> DFL decode + EfficientNMS-equiv (topk=100 pad)   [runtime.detector]
+    -> un-letterbox to original pixel coords            [ops.boxes]
+    -> conf>.35 filter + custom area-sorted NMS         [ops.nms]
+    -> integer box round + (side//10)//2 inflation      [ops.boxes]
+    -> batch-compacted crop gather -> 224 nearest       [ops.crop]
+    -> [-1,1] normalize -> ViT classifier -> argmax     [models.vit]
+
+Static-shape tricks:
+  * detections padded to topk=100 with validity masks (the reference engine
+    pads identically);
+  * classification runs on a compact budget of `classify_budget` slots per
+    image *averaged across the batch*: valid detections from the whole batch
+    are compacted into (B*budget) crop slots by a top-k over validity, so a
+    frame with 6 covers can borrow slots from an empty frame.  Class results
+    scatter back to their (image, det) positions.  -1 where not classified.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from yolov8_vit_tpu.config import DetectConfig
+from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec, VIT_B8_224
+from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+from yolov8_vit_tpu.ops import (
+    letterbox, unletterbox_boxes, area_sorted_nms, inflate_boxes,
+    crop_and_resize_nearest, blob, normalize_pm1,
+)
+from yolov8_vit_tpu.runtime.detector import decode_predictions
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoStagePipeline:
+    """Builds the fused forward function for given (static) shapes."""
+
+    det_cfg: DetectConfig = DetectConfig()
+    vit_spec: ViTSpec = VIT_B8_224
+    num_classes: int = 5
+    classify_budget: int = 4          # avg crops classified per image
+    dtype: Any = jnp.float32          # activation dtype for both models
+
+    @property
+    def detector(self) -> YOLOv8:
+        spec = dataclasses.replace(YOLOV8_VARIANTS[self.det_cfg.variant],
+                                   num_classes=self.det_cfg.num_classes,
+                                   reg_max=self.det_cfg.reg_max,
+                                   strides=self.det_cfg.strides)
+        return YOLOv8(spec, fused=True)
+
+    @property
+    def classifier(self) -> ViTClassifier:
+        return ViTClassifier(self.vit_spec, self.num_classes, dtype=self.dtype)
+
+    def init_params(self, rng, image_hw: tuple[int, int] = (640, 640)):
+        """Random-init both param trees (for tests/benchmarks)."""
+        r1, r2 = jax.random.split(rng)
+        det = self.detector.init(
+            r1, jnp.zeros((1, *self.det_cfg.input_size, 3), self.dtype))
+        vs = self.vit_spec
+        vit = self.classifier.init(
+            r2, jnp.zeros((1, vs.img_size, vs.img_size, 3), self.dtype))
+        return {"det": det, "vit": vit}
+
+    def __call__(self, params, images: jnp.ndarray) -> dict:
+        """images: (B, H, W, 3) uint8 RGB, any fixed size -> detection dict.
+
+        Returns dict with static shapes (T = nms_topk):
+          num_dets (B,) i32           stage-1 kept count
+          boxes (B, T, 4) f32         xyxy in ORIGINAL image coords
+          det_scores (B, T) f32
+          det_labels (B, T) i32       stage-1 class, -1 padded
+          final_valid (B, T) bool     survived conf>.35 + area-sorted NMS
+          cls_labels (B, T) i32       stage-2 ViT class, -1 where invalid
+          cls_scores (B, T) f32       stage-2 softmax prob of argmax
+        """
+        cfg = self.det_cfg
+        b = images.shape[0]
+        h, w = images.shape[1], images.shape[2]
+        t = cfg.nms_topk
+
+        # ---- stage 1: detect --------------------------------------------
+        lb, ratio, dwdh = letterbox(images, cfg.input_size,
+                                    pad_value=cfg.pad_value)
+        det_in = blob(lb).astype(self.dtype)
+        head = self.detector.apply(params["det"], det_in)
+        num_dets, boxes_lb, det_scores, det_labels = \
+            decode_predictions(head, cfg)
+
+        boxes = unletterbox_boxes(boxes_lb, ratio, dwdh)
+        img_wh = jnp.asarray([w, h, w, h], jnp.float32)
+        boxes = jnp.clip(boxes, 0.0, img_wh)
+        stage1_valid = det_labels >= 0
+
+        # ---- second-stage filter + custom NMS ---------------------------
+        final_valid = jax.vmap(
+            lambda bx, sc, va: area_sorted_nms(
+                bx, sc, va, iou_threshold=cfg.custom_nms_iou,
+                score_threshold=cfg.conf_second)
+        )(boxes, det_scores, stage1_valid)
+
+        # ---- inflate + integer boxes ------------------------------------
+        int_boxes = jnp.round(boxes).astype(jnp.int32).astype(jnp.float32)
+        inflated = inflate_boxes(int_boxes, jnp.asarray([[w, h]], jnp.float32))
+        inflated = jnp.round(inflated).astype(jnp.int32)      # (B, T, 4)
+
+        # ---- batch compaction: pick K slots across the whole batch ------
+        k = b * self.classify_budget
+        flat_valid = final_valid.reshape(-1)                   # (B*T,)
+        flat_scores = det_scores.reshape(-1)
+        # priority: validity first, then score (so overflow drops lowest conf)
+        priority = jnp.where(flat_valid, 1.0 + flat_scores, flat_scores)
+        _, slot_idx = jax.lax.top_k(priority, k)               # (K,) into B*T
+        slot_img = slot_idx // t
+        slot_valid = flat_valid[slot_idx]
+
+        slot_boxes = inflated.reshape(-1, 4)[slot_idx]         # (K, 4)
+
+        # ---- gather crops (K, 224, 224, 3) ------------------------------
+        vs = self.vit_spec
+        def crop_one(img_i, box):
+            return crop_and_resize_nearest(
+                images[img_i], box[None, :], (vs.img_size, vs.img_size))[0]
+        crops = jax.vmap(crop_one)(slot_img, slot_boxes)
+
+        # ---- stage 2: classify ------------------------------------------
+        x = normalize_pm1(blob(crops)).astype(self.dtype)
+        logits = self.classifier.apply(params["vit"], x)       # (K, nc)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        k_labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        k_scores = jnp.max(probs, axis=-1)
+
+        # ---- scatter class results back to (B, T) slots -----------------
+        cls_labels = jnp.full((b * t,), -1, jnp.int32)
+        cls_scores = jnp.zeros((b * t,), jnp.float32)
+        k_labels = jnp.where(slot_valid, k_labels, -1)
+        k_scores = jnp.where(slot_valid, k_scores, 0.0)
+        cls_labels = cls_labels.at[slot_idx].set(k_labels).reshape(b, t)
+        cls_scores = cls_scores.at[slot_idx].set(k_scores).reshape(b, t)
+
+        return {
+            "num_dets": num_dets,
+            "boxes": boxes,
+            "det_scores": det_scores,
+            "det_labels": det_labels,
+            "final_valid": final_valid,
+            "cls_labels": cls_labels,
+            "cls_scores": cls_scores,
+        }
+
+    def jit(self):
+        """Return the jitted forward (params, images) -> dict."""
+        return jax.jit(self.__call__)

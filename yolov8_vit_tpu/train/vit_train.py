@@ -1,0 +1,191 @@
+"""ViT fine-tune: sharded train/eval steps + the epoch loop.
+
+Training-protocol parity with `/root/reference/utils/trainClass.py:374-516`:
+SGD(momentum .9, weight decay 1e-3) with per-epoch cosine-annealed LR,
+combined focal+label-smoothing loss on one-hot targets, per-epoch validation
+with confusion matrix, best-val-accuracy checkpointing.
+
+TPU-native differences: the step is one pjit-compiled program, batches shard
+over the mesh `data` axis (the reference's DataParallel is pinned to one
+GPU, `:437`), ViT params may shard over `model` (tensor parallel), and
+gradients are averaged by XLA-inserted psums — there is no hand-written
+gradient sync.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from yolov8_vit_tpu.config import CFG
+from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec, VIT_B8_224
+from yolov8_vit_tpu.train.losses import combined_loss
+from yolov8_vit_tpu.train.schedule import cosine_anneal_schedule
+
+
+def make_optimizer(cfg: CFG) -> optax.GradientTransformation:
+    """torch.optim.SGD(lr, momentum=.9, weight_decay=1e-3) equivalent.
+
+    Order matters: torch adds wd*w to the gradient BEFORE the momentum
+    buffer update; optax.add_decayed_weights before sgd reproduces that.
+    LR is injected per-step (cosine anneal is driven from the epoch loop,
+    like the reference's per-batch param-group update).
+    """
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        # LR (with sign flip) is applied in the train step, where the
+        # per-epoch cosine value arrives as a traced scalar.
+    )
+
+
+def make_train_step(model: ViTClassifier,
+                    optimizer: optax.GradientTransformation) -> Callable:
+    """(params, opt_state, imgs, onehot, lr) -> (params, opt_state, loss, correct)."""
+
+    def step(params, opt_state, imgs, onehot, lr):
+        def loss_fn(p):
+            logits = model.apply(p, imgs)
+            return combined_loss(logits, onehot), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        correct = jnp.sum(jnp.argmax(logits, -1) == jnp.argmax(onehot, -1))
+        return params, opt_state, loss, correct
+
+    return step
+
+
+def make_eval_step(model: ViTClassifier, num_classes: int) -> Callable:
+    """(params, imgs, onehot) -> (loss, correct, confusion (C, C))."""
+
+    def step(params, imgs, onehot):
+        logits = model.apply(params, imgs)
+        loss = combined_loss(logits, onehot)
+        pred = jnp.argmax(logits, -1)
+        tgt = jnp.argmax(onehot, -1)
+        correct = jnp.sum(pred == tgt)
+        conf = jnp.zeros((num_classes, num_classes), jnp.int32
+                         ).at[tgt, pred].add(1)
+        return loss, correct, conf
+
+    return step
+
+
+@dataclasses.dataclass
+class ViTTrainer:
+    """Epoch-loop orchestrator (reference `train(CFG, log)` parity)."""
+
+    cfg: CFG = CFG()
+    spec: ViTSpec = VIT_B8_224
+    mesh: Any = None                    # jax.sharding.Mesh or None
+    log_path: str | None = None         # result.json-equivalent
+    ckpt_dir: str = "weights/new_weight"
+    log_fn: Callable[[str], None] = print
+
+    def __post_init__(self):
+        self.model = ViTClassifier(self.spec, self.cfg.num_classes)
+        self.optimizer = make_optimizer(self.cfg)
+        step = make_train_step(self.model, self.optimizer)
+        estep = make_eval_step(self.model, self.cfg.num_classes)
+        if self.mesh is not None:
+            data = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            self._step = jax.jit(
+                step, in_shardings=(rep, rep, data, data, rep),
+                out_shardings=(rep, rep, rep, rep))
+            self._estep = jax.jit(estep, in_shardings=(rep, data, data),
+                                  out_shardings=(rep, rep, rep))
+        else:
+            self._step = jax.jit(step)
+            self._estep = jax.jit(estep)
+
+    def init(self, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        s = self.spec.img_size
+        params = jax.jit(self.model.init)(rng, jnp.zeros((1, s, s, 3)))
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    # ---- epoch loops ------------------------------------------------------
+    def train_one_epoch(self, params, opt_state, loader: Iterable,
+                        epoch0: int) -> tuple[Any, Any, float, float]:
+        lr = cosine_anneal_schedule(epoch0, self.cfg.epoch, self.cfg.lr)
+        total = correct = 0
+        loss_sum = 0.0
+        n_steps = 0
+        for imgs, onehot in loader:
+            params, opt_state, loss, c = self._step(
+                params, opt_state, jnp.asarray(imgs), jnp.asarray(onehot),
+                jnp.float32(lr))
+            bs = imgs.shape[0]
+            total += bs
+            correct += int(c)
+            loss_sum += float(loss)
+            n_steps += 1
+        acc = 100.0 * correct / max(total, 1)
+        return params, opt_state, loss_sum / max(n_steps, 1), acc
+
+    def valid_one_epoch(self, params, loader: Iterable):
+        total = correct = 0
+        loss_sum = 0.0
+        n_steps = 0
+        conf = np.zeros((self.cfg.num_classes, self.cfg.num_classes), np.int64)
+        for imgs, onehot in loader:
+            loss, c, cm = self._estep(params, jnp.asarray(imgs),
+                                      jnp.asarray(onehot))
+            total += imgs.shape[0]
+            correct += int(c)
+            loss_sum += float(loss)
+            conf += np.asarray(cm)
+            n_steps += 1
+        acc = 100.0 * correct / max(total, 1)
+        return acc, loss_sum / max(n_steps, 1), conf
+
+    # ---- full training (reference train(CFG) semantics) -------------------
+    def fit(self, params, opt_state, train_loader_fn, valid_loader_fn,
+            save_checkpoint: Callable[[Any], None] | None = None,
+            log: bool = False):
+        """train_loader_fn/valid_loader_fn: () -> iterable of (imgs, onehot).
+
+        Best-val gating + result.json-style metric log
+        (`/root/reference/utils/trainClass.py:459-508`).
+        """
+        best_val_acc = 0.0
+        results = {}
+        for epoch in range(1, self.cfg.epoch + 1):
+            t0 = time.time()
+            params, opt_state, tr_loss, tr_acc = self.train_one_epoch(
+                params, opt_state, train_loader_fn(), epoch - 1)
+            val_acc, val_loss, conf = self.valid_one_epoch(
+                params, valid_loader_fn())
+            row_sum = conf.sum(1, keepdims=True)
+            norm_cm = conf / np.maximum(row_sum, 1)
+            self.log_fn(f"Epoch {epoch}: train loss {tr_loss:.4f} "
+                        f"acc {tr_acc:.2f}% | val loss {val_loss:.4f} "
+                        f"acc {val_acc:.2f}%\n{norm_cm}")
+            if log and self.log_path:
+                results[epoch] = {"train_acc": tr_acc, "val_acc": val_acc,
+                                  "loss": val_loss}
+                os.makedirs(os.path.dirname(self.log_path) or ".",
+                            exist_ok=True)
+                with open(self.log_path, "w") as f:
+                    json.dump(results, f, indent=4)
+            if val_acc > best_val_acc:
+                best_val_acc = val_acc
+                if save_checkpoint is not None:
+                    save_checkpoint(params)
+                self.log_fn(f"New best model (val acc {val_acc:.3f}%)")
+            self.log_fn(f"epoch:{epoch}, time:{time.time()-t0:.2f}s, "
+                        f"best_val_acc:{best_val_acc:.2f}%")
+        return params, opt_state, best_val_acc
