@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 8)))
     ap.add_argument("--iters", type=int, default=int(os.environ.get("BENCH_ITERS", 50)))
     ap.add_argument("--budget", type=int, default=int(os.environ.get("BENCH_BUDGET", 4)))
+    ap.add_argument("--vit", choices=["b8", "b16"],
+                    default=os.environ.get("BENCH_VIT", "b16"),
+                    help="classifier patch size; BASELINE.json's two-stage "
+                         "config names ViT-B/16 (the reference code runs "
+                         "B/8 — pass --vit b8 for that protocol)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -47,7 +52,7 @@ def main() -> None:
         img_hw = (96, 128)
     else:
         det_cfg = DetectConfig(variant="s")
-        vit_spec = ViTSpec()          # ViT-B/8 224
+        vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16)
         batch, iters = args.batch, args.iters
         img_hw = (640, 640)
 
@@ -93,6 +98,7 @@ def main() -> None:
             "iters": iters,
             "classify_budget": args.budget,
             "step_ms": round(p50_latency_ms, 2),
+            "vit": args.vit,
             "device": str(jax.devices()[0]),
             "smoke": args.smoke,
         },

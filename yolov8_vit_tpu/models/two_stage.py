@@ -36,9 +36,10 @@ from yolov8_vit_tpu.config import DetectConfig
 from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec, VIT_B8_224
 from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
 from yolov8_vit_tpu.ops import (
-    letterbox, unletterbox_boxes, area_sorted_nms, inflate_boxes,
+    unletterbox_boxes, area_sorted_nms, inflate_boxes,
     crop_and_resize_nearest, blob, normalize_pm1,
 )
+from yolov8_vit_tpu.ops.letterbox import letterbox_fast
 from yolov8_vit_tpu.runtime.detector import decode_predictions
 
 
@@ -92,8 +93,9 @@ class TwoStagePipeline:
         t = cfg.nms_topk
 
         # ---- stage 1: detect --------------------------------------------
-        lb, ratio, dwdh = letterbox(images, cfg.input_size,
-                                    pad_value=cfg.pad_value)
+        lb, ratio, dwdh = letterbox_fast(images, cfg.input_size,
+                                         pad_value=cfg.pad_value,
+                                         dtype=self.dtype)
         det_in = blob(lb).astype(self.dtype)
         head = self.detector.apply(params["det"], det_in)
         num_dets, boxes_lb, det_scores, det_labels = \

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from yolov8_vit_tpu.ops.resize import resize_bilinear
+from yolov8_vit_tpu.ops.resize import resize_bilinear, resize_bilinear_mm
 
 
 def letterbox_params(in_hw: tuple[int, int], out_hw: tuple[int, int]):
@@ -54,4 +54,26 @@ def letterbox(img: jnp.ndarray, out_hw: tuple[int, int],
         (0, 0),
     ]
     padded = jnp.pad(resized, pad_cfg, constant_values=pad_value)
+    return padded, r, (dw, dh)
+
+
+def letterbox_fast(img: jnp.ndarray, out_hw: tuple[int, int],
+                   pad_value: int = 114, dtype=jnp.bfloat16):
+    """MXU-matmul letterbox for fused pipelines (see resize_bilinear_mm for
+    the <=1-pixel-unit precision note).  Returns float output in `dtype`
+    range [0, 255]; same (ratio, dwdh) contract as `letterbox`."""
+    out_h, out_w = out_hw
+    h, w = img.shape[-3], img.shape[-2]
+    new_h, new_w, r, dw, dh, top, left = letterbox_params((h, w), out_hw)
+    if (new_h, new_w) == (h, w):
+        resized = img.astype(dtype)
+    else:
+        resized = resize_bilinear_mm(img, (new_h, new_w), dtype).astype(dtype)
+    pad_cfg = [(0, 0)] * (img.ndim - 3) + [
+        (top, out_h - new_h - top),
+        (left, out_w - new_w - left),
+        (0, 0),
+    ]
+    padded = jnp.pad(resized, pad_cfg,
+                     constant_values=jnp.asarray(pad_value, dtype))
     return padded, r, (dw, dh)

@@ -1,0 +1,112 @@
+"""Engine build CLI — `export-det.py` + `build.py` parity.
+
+The reference exports PyTorch -> ONNX (with the TRT_NMS symbolic) and then
+builds a TensorRT engine (`/root/reference/test.ipynb` cell 0):
+
+    python export-det.py --weights best.pt --iou-thres 0.65 --conf-thres 0.25 \
+        --topk 100 --opset 11 --sim --input-shape 1 3 640 640 --device cuda:0
+    python build.py --weights best.onnx --fp16
+
+Here one step converts a torch checkpoint (ultralytics .pt for detect,
+Network_Wrapper .pth for classify) into an engine directory, baking the
+same NMS protocol into meta.json; absent a checkpoint, --random initializes
+(benchmarks).  AOT compilation happens lazily per input shape and persists
+in the XLA compile cache (the engine-build analogue).
+
+    python -m yolov8_vit_tpu.runtime.export detect --weights best.pt \
+        --out weights/detect_engine --iou-thres 0.65 --conf-thres 0.25 --topk 100
+    python -m yolov8_vit_tpu.runtime.export classify --weights best.pth \
+        --out weights/class_engine --model vit_base_patch8_224.augreg_in21k
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def export_detect(args) -> str:
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.config import DetectConfig
+    from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    from yolov8_vit_tpu.runtime.convert import (load_torch_state_dict,
+                                                convert_yolov8)
+    from yolov8_vit_tpu.runtime.engine import save_engine
+
+    cfg = DetectConfig(
+        variant=args.variant, num_classes=args.num_classes,
+        input_size=(args.imgsz, args.imgsz), nms_iou=args.iou_thres,
+        nms_conf=args.conf_thres, nms_topk=args.topk)
+    if args.weights:
+        params = convert_yolov8(load_torch_state_dict(args.weights))
+    else:
+        spec = dataclasses.replace(YOLOV8_VARIANTS[cfg.variant],
+                                   num_classes=cfg.num_classes)
+        model = YOLOv8(spec, fused=True)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.imgsz, args.imgsz, 3)))
+    meta = {"detect_cfg": {
+        "variant": cfg.variant, "num_classes": cfg.num_classes,
+        "input_size": list(cfg.input_size), "nms_iou": cfg.nms_iou,
+        "nms_conf": cfg.nms_conf, "nms_topk": cfg.nms_topk}}
+    path = save_engine(args.out, "detect", params, meta)
+    print(f"detect engine written to {path}")
+    return path
+
+
+def export_classify(args) -> str:
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+    from yolov8_vit_tpu.runtime.convert import (load_torch_state_dict,
+                                                convert_vit_wrapper)
+    from yolov8_vit_tpu.runtime.engine import save_engine
+
+    spec = ViTSpec(patch=16 if "patch16" in args.model else 8)
+    if args.weights:
+        params = convert_vit_wrapper(load_torch_state_dict(args.weights),
+                                     depth=spec.depth)
+    else:
+        model = ViTClassifier(spec, args.num_classes)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, spec.img_size, spec.img_size, 3)))
+    meta = {"vit_spec": dataclasses.asdict(spec),
+            "num_classes": args.num_classes, "model_name": args.model}
+    path = save_engine(args.out, "classify", params, meta)
+    print(f"classify engine written to {path}")
+    return path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="yolov8_vit_tpu.runtime.export")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="build a detect engine")
+    d.add_argument("--weights", default=None,
+                   help="ultralytics .pt checkpoint (omit for random init)")
+    d.add_argument("--out", required=True)
+    d.add_argument("--variant", default="s", choices=list("nsmlx"))
+    d.add_argument("--num-classes", type=int, default=5)
+    d.add_argument("--imgsz", type=int, default=640)
+    d.add_argument("--iou-thres", type=float, default=0.65)
+    d.add_argument("--conf-thres", type=float, default=0.25)
+    d.add_argument("--topk", type=int, default=100)
+    d.set_defaults(fn=export_detect)
+
+    c = sub.add_parser("classify", help="build a classify engine")
+    c.add_argument("--weights", default=None,
+                   help="Network_Wrapper .pth checkpoint")
+    c.add_argument("--out", required=True)
+    c.add_argument("--model", default="vit_base_patch8_224.augreg_in21k")
+    c.add_argument("--num-classes", type=int, default=5)
+    c.set_defaults(fn=export_classify)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -48,21 +48,8 @@ def _html_response(start_response, html: str):
     return [body]
 
 
-_LOGS_PAGE = """<!doctype html><html><head><meta charset="utf-8">
-<title>training logs</title></head><body>
-<h3>Training metrics</h3>
-<button onclick="start()">start</button> <button onclick="stop()">stop</button>
-<pre id="out"></pre>
-<script>
-let es = null;
-function start() {
-  es = new EventSource('/chart-data');
-  es.onmessage = (e) => {
-    document.getElementById('out').textContent += e.data + "\\n";
-  };
-}
-function stop() { if (es) es.close(); }
-</script></body></html>"""
+from yolov8_vit_tpu.serve.templates import (logs_page, map_page,
+                                            heatmap_page)
 
 
 class InspectionService:
@@ -139,7 +126,9 @@ class InspectionService:
         return {"url": self.oss.getUrl("FuChuang/" + basename)}
 
     def route_map(self, query: dict) -> str:
-        """GET /map — standalone Leaflet marker map (no folium dependency)."""
+        """GET /map — filterable marker map around a geocoded location
+        (reference `/root/reference/app.py:106-142`: folium markers with
+        per-class icons + TagFilterButton around 100 sampled points)."""
         location = query.get("location", "")
         lo, la = 39.9, 116.4   # default center
         if location and self.geocode_fn:
@@ -152,12 +141,19 @@ class InspectionService:
             {"lat": lo + rng.gauss(0, 0.5), "lng": la + rng.gauss(0, 0.5),
              "cls": rng.choice(CLASS_NAMES)}
             for _ in range(100)]
-        return ("<!doctype html><html><head><meta charset='utf-8'>"
-                "<title>cover map</title></head><body>"
-                f"<h3>manhole covers near {location or 'default'}</h3>"
-                "<div id='map'></div><script>const markers = "
-                + json.dumps(markers) +
-                ";</script></body></html>")
+        return map_page(markers, (lo, la), location)
+
+    def route_heatmap(self) -> str:
+        """GET /heatmap — density page (reference `templates/map.html` +
+        static heatmapData.js); demo-sampled points, swap in real cover
+        locations by overriding `heatmap_points`."""
+        rng = random.Random(1)
+        points = getattr(self, "heatmap_points", None) or [
+            {"lng": 116.4 + rng.gauss(0, 0.25),
+             "lat": 39.9 + rng.gauss(0, 0.18),
+             "count": rng.randint(1, 100)}
+            for _ in range(400)]
+        return heatmap_page(points)
 
     def route_train_now(self):
         """POST/GET /trainNow — reference :167-190 semantics incl. the
@@ -241,6 +237,8 @@ class InspectionService:
                                   self.route_get_image(read_json()))
         if path == "/map":
             return _html_response(start_response, self.route_map(query))
+        if path == "/heatmap":
+            return _html_response(start_response, self.route_heatmap())
         if path == "/getConfig":
             if method == "POST":
                 pos = read_json()
@@ -254,7 +252,7 @@ class InspectionService:
         if path == "/trainNow":
             return _json_response(start_response, self.route_train_now())
         if path == "/logs":
-            return _html_response(start_response, _LOGS_PAGE)
+            return _html_response(start_response, logs_page())
         if path == "/chart-data":
             start_response("200 OK", [
                 ("Content-Type", "text/event-stream"),
@@ -301,13 +299,19 @@ def build_default_service(workdir: str = ".",
     return InspectionService(workdir=workdir, runner=runner)
 
 
-if __name__ == "__main__":
+def main_cli(argv=None):
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--workdir", default=".")
     ap.add_argument("--detect-engine", default=None)
     ap.add_argument("--classify-engine", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     build_default_service(args.workdir, args.detect_engine,
-                          args.classify_engine).serve(port=args.port)
+                          args.classify_engine).serve(host=args.host,
+                                                      port=args.port)
+
+
+if __name__ == "__main__":
+    main_cli()

@@ -1,0 +1,138 @@
+"""Production batch inference: native host decode + fused device pipeline.
+
+The reference's hot path is a per-image Python loop with per-crop bs=1 ViT
+forwards (SURVEY.md §3.1 "hot loops").  This runner is the TPU-shaped
+replacement for camera/stream workloads:
+
+  * images decode on host threads via the native C++ pipeline (csrc/), with
+    a PIL fallback;
+  * frames are BUCKETED BY RESOLUTION: the fused two-stage graph has static
+    shapes, so each distinct (H, W) compiles once (persistent cache) and
+    every subsequent frame of that size rides the same executable — the XLA
+    analogue of a TensorRT engine profile;
+  * each bucket executes detect->NMS->crop->classify as one device program
+    (models/two_stage.py) and results map back to input order.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolov8_vit_tpu.config import CLASS_NAMES, DetectConfig
+from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
+
+
+@dataclasses.dataclass
+class BatchRunner:
+    pipeline: TwoStagePipeline
+    params: dict
+    max_batch: int = 8
+
+    def __post_init__(self):
+        self._fn = jax.jit(self.pipeline.__call__)
+
+    # ------------------------------------------------------------------
+    def _decode(self, path: str):
+        try:
+            from yolov8_vit_tpu.runtime.native import decode_image
+            img = decode_image(path)
+            if img is not None:
+                return img
+        except Exception:  # noqa: BLE001 — fall through to PIL
+            pass
+        from PIL import Image
+        try:
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"))
+        except OSError:
+            return None
+
+    def run_paths(self, paths: Sequence[str]) -> list[dict | None]:
+        """Decode + run; returns one result dict per input path (None when
+        the image failed to decode), in input order."""
+        imgs = [self._decode(p) for p in paths]
+        results: list[dict | None] = [None] * len(paths)
+        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for i, img in enumerate(imgs):
+            if img is not None:
+                buckets[img.shape[:2]].append(i)
+        for _hw, idxs in buckets.items():
+            for start in range(0, len(idxs), self.max_batch):
+                chunk = idxs[start:start + self.max_batch]
+                batch = np.stack([imgs[i] for i in chunk])
+                out = self._fn(self.params, jnp.asarray(batch))
+                out = jax.tree.map(np.asarray, out)
+                for j, i in enumerate(chunk):
+                    results[i] = {k: v[j] for k, v in out.items()}
+        return results
+
+    # ------------------------------------------------------------------
+    def flatten(self, paths: Sequence[str],
+                results: Sequence[dict | None]) -> list[tuple]:
+        """inferdet-parity flattened tuples
+        (img, cls_id, conf, x1, y1, x2, y2), sorted by image name."""
+        import os
+        rows = []
+        for path, res in zip(paths, results):
+            if res is None:
+                continue
+            name = os.path.basename(path)
+            valid = res["final_valid"]
+            for k in np.nonzero(valid)[0]:
+                cls = int(res["cls_labels"][k])
+                if cls < 0:  # not classified (over budget): stage-1 label
+                    cls = int(res["det_labels"][k])
+                box = res["boxes"][k]
+                rows.append((name, cls, float(res["det_scores"][k]),
+                             int(box[0]), int(box[1]), int(box[2]),
+                             int(box[3])))
+        rows.sort(key=lambda r: r[0])
+        return rows
+
+    def to_objects(self, result: dict) -> list[dict]:
+        """One result dict -> VOC-style objects list (for annotation/draw)."""
+        objs = []
+        for k in np.nonzero(result["final_valid"])[0]:
+            cls = int(result["cls_labels"][k])
+            if cls < 0:
+                cls = int(result["det_labels"][k])
+            box = result["boxes"][k]
+            objs.append({"sort": CLASS_NAMES[cls],
+                         "xmin": int(box[0]), "ymin": int(box[1]),
+                         "xmax": int(box[2]), "ymax": int(box[3])})
+        return objs
+
+
+def make_runner(det_engine_path: str | None = None,
+                vit_engine_path: str | None = None,
+                det_cfg: DetectConfig = DetectConfig(),
+                classify_budget: int = 4, dtype=jnp.bfloat16,
+                rng_seed: int = 0) -> BatchRunner:
+    """Build a BatchRunner from engine dirs (random params when absent)."""
+    from yolov8_vit_tpu.models.vit import ViTSpec
+    from yolov8_vit_tpu.runtime.engine import Engine
+
+    vit_spec = ViTSpec()
+    det_params = vit_params = None
+    if det_engine_path:
+        eng = Engine(det_engine_path)
+        det_cfg = eng.det_cfg
+        det_params = eng.params
+    if vit_engine_path:
+        ceng = Engine(vit_engine_path)
+        vit_spec = ceng.vit_spec
+        vit_params = ceng.params
+
+    pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
+                            classify_budget=classify_budget, dtype=dtype)
+    params = jax.jit(pipe.init_params)(jax.random.PRNGKey(rng_seed))
+    if det_params is not None:
+        params["det"] = det_params
+    if vit_params is not None:
+        params["vit"] = vit_params
+    return BatchRunner(pipe, params)

@@ -74,7 +74,8 @@ def _crop_nearest_224(rgb: np.ndarray, box: Sequence[int],
                       size: int = 224) -> np.ndarray:
     """Integer crop + nearest resize (the ops/crop.py contract, host mirror)."""
     x1, y1, x2, y2 = (int(v) for v in box)
-    x1, y1 = max(x1, 0), max(y1, 0)
+    x1 = min(max(x1, 0), rgb.shape[1] - 1)
+    y1 = min(max(y1, 0), rgb.shape[0] - 1)
     x2 = min(max(x2, x1 + 1), rgb.shape[1])
     y2 = min(max(y2, y1 + 1), rgb.shape[0])
     crop = rgb[y1:y2, x1:x2]

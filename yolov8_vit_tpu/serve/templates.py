@@ -1,0 +1,164 @@
+"""Frontend pages — capability parity with the reference templates
+(SURVEY.md §2.4) as self-contained HTML (no CDN dependencies):
+
+  * `logs_page()` — live dual-line training chart fed by the /chart-data SSE
+    stream, with start/stop buttons and a range slider
+    (reference: ECharts page `templates/index2.html:32-201`).
+  * `map_page(markers, ...)` — per-class colored markers with tag-filter
+    buttons and a density heat underlay on an SVG canvas
+    (reference: folium/Leaflet page `templates/dense_sparse_heatmap.html`).
+  * `heatmap_page(points)` — radial-gradient intensity heatmap over a
+    lng/lat/count dataset (reference: AMap page `templates/map.html` +
+    `static/heatmapData.js`).
+
+All charts render with vanilla JS + SVG/canvas so the service works in
+air-gapped deployments (the reference pages require ECharts/Leaflet/AMap
+CDNs and an AMap API key).
+"""
+from __future__ import annotations
+
+import json
+
+
+def logs_page() -> str:
+    return """<!doctype html><html><head><meta charset="utf-8">
+<title>Training Metrics</title><style>
+body{font-family:system-ui;margin:2em;background:#fafafa}
+#chart{background:#fff;border:1px solid #ddd;border-radius:6px}
+.legend span{display:inline-block;margin-right:1.2em;font-size:13px}
+.dot{display:inline-block;width:10px;height:10px;border-radius:5px;margin-right:4px}
+button{margin-right:.5em;padding:.35em 1em}
+</style></head><body>
+<h3>Training metrics (live)</h3>
+<button id="start">start</button><button id="stop">stop</button>
+<div class="legend"><span><i class="dot" style="background:#c23531"></i>Train acc</span>
+<span><i class="dot" style="background:#2f4554"></i>Val acc</span></div>
+<svg id="chart" width="860" height="360"></svg>
+<div><input type="range" id="zoom" min="10" max="100" value="100" style="width:860px">
+<label for="zoom" style="font-size:12px">window %</label></div>
+<script>
+const data = [];
+let es = null;
+const svg = document.getElementById('chart');
+const W = 860, H = 360, PAD = 40;
+function draw() {
+  const frac = document.getElementById('zoom').value / 100;
+  const view = data.slice(Math.floor(data.length * (1 - frac)));
+  svg.innerHTML = '';
+  if (!view.length) return;
+  const ys = view.flatMap(d => [d.value1, d.value2]);
+  const ymin = Math.min(...ys), ymax = Math.max(...ys);
+  const yr = (ymax - ymin) || 1;
+  const sx = i => PAD + i * (W - 2 * PAD) / Math.max(view.length - 1, 1);
+  const sy = v => H - PAD - (v - ymin) / yr * (H - 2 * PAD);
+  // axes + gridlines
+  for (let g = 0; g <= 4; g++) {
+    const y = PAD + g * (H - 2 * PAD) / 4;
+    svg.innerHTML += `<line x1="${PAD}" y1="${y}" x2="${W-PAD}" y2="${y}"
+      stroke="#eee"/><text x="4" y="${y+4}" font-size="10">${
+      (ymax - g * yr / 4).toFixed(3)}</text>`;
+  }
+  for (const [key, color] of [['value1','#c23531'],['value2','#2f4554']]) {
+    const pts = view.map((d, i) => `${sx(i)},${sy(d[key])}`).join(' ');
+    svg.innerHTML += `<polyline points="${pts}" fill="none" stroke="${color}"
+      stroke-width="2"/>`;
+  }
+}
+document.getElementById('start').onclick = () => {
+  if (es) return;
+  es = new EventSource('/chart-data');
+  es.onmessage = e => { data.push(JSON.parse(e.data)); draw(); };
+};
+document.getElementById('stop').onclick = () => { if (es) { es.close(); es = null; } };
+document.getElementById('zoom').oninput = draw;
+</script></body></html>"""
+
+
+_CLASS_COLORS = {"good": "#6fbf73", "broke": "#e58bb0", "lose": "#9e9e9e",
+                 "uncovered": "#f29b38", "circle": "#6fb3e0"}
+
+
+def map_page(markers: list[dict], center: tuple[float, float],
+             location_label: str = "") -> str:
+    """markers: [{lat, lng, cls}] -> filterable SVG scatter + heat density."""
+    payload = json.dumps({"markers": markers, "center": center,
+                          "colors": _CLASS_COLORS})
+    return """<!doctype html><html><head><meta charset="utf-8">
+<title>Cover Map</title><style>
+body{font-family:system-ui;margin:2em;background:#fafafa}
+#map{background:#eef3ee;border:1px solid #ccc;border-radius:6px}
+.filter button{margin:2px;padding:.3em .9em;border-radius:12px;border:1px solid #bbb;cursor:pointer}
+.filter button.off{opacity:.35}
+</style></head><body>
+<h3>Manhole covers """ + (f"near {location_label}" if location_label else "") + """</h3>
+<div class="filter" id="filters"></div>
+<svg id="map" width="760" height="560"></svg>
+<script>
+const D = """ + payload + """;
+const active = Object.fromEntries(Object.keys(D.colors).map(c => [c, true]));
+const svg = document.getElementById('map');
+const W = 760, H = 560;
+const lats = D.markers.map(m => m.lat), lngs = D.markers.map(m => m.lng);
+const la0 = Math.min(...lats), la1 = Math.max(...lats);
+const lo0 = Math.min(...lngs), lo1 = Math.max(...lngs);
+const sx = lng => 30 + (lng - lo0) / ((lo1 - lo0) || 1) * (W - 60);
+const sy = lat => H - 30 - (lat - la0) / ((la1 - la0) || 1) * (H - 60);
+function draw() {
+  let out = '';
+  // heat underlay: translucent blobs
+  for (const m of D.markers) {
+    if (!active[m.cls]) continue;
+    out += `<circle cx="${sx(m.lng)}" cy="${sy(m.lat)}" r="26"
+      fill="rgba(240,120,40,0.06)"/>`;
+  }
+  for (const m of D.markers) {
+    if (!active[m.cls]) continue;
+    out += `<circle cx="${sx(m.lng)}" cy="${sy(m.lat)}" r="6"
+      fill="${D.colors[m.cls]}" stroke="#555" stroke-width="1">
+      <title>${m.cls} @ ${m.lat.toFixed(4)},${m.lng.toFixed(4)}</title></circle>`;
+  }
+  svg.innerHTML = out;
+}
+const fdiv = document.getElementById('filters');
+for (const cls of Object.keys(D.colors)) {
+  const b = document.createElement('button');
+  b.textContent = cls;
+  b.style.background = D.colors[cls];
+  b.onclick = () => { active[cls] = !active[cls];
+    b.classList.toggle('off'); draw(); };
+  fdiv.appendChild(b);
+}
+draw();
+</script></body></html>"""
+
+
+def heatmap_page(points: list[dict]) -> str:
+    """points: [{lng, lat, count}] -> canvas radial-gradient heatmap."""
+    payload = json.dumps(points)
+    return """<!doctype html><html><head><meta charset="utf-8">
+<title>Cover Density Heatmap</title><style>
+body{font-family:system-ui;margin:2em;background:#111;color:#eee}
+canvas{border:1px solid #444;border-radius:6px;background:#1c2330}
+</style></head><body>
+<h3>Cover density</h3>
+<canvas id="heat" width="860" height="600"></canvas>
+<script>
+const pts = """ + payload + """;
+const cv = document.getElementById('heat'), ctx = cv.getContext('2d');
+if (pts.length) {
+  const lo0 = Math.min(...pts.map(p => p.lng)), lo1 = Math.max(...pts.map(p => p.lng));
+  const la0 = Math.min(...pts.map(p => p.lat)), la1 = Math.max(...pts.map(p => p.lat));
+  const maxc = Math.max(...pts.map(p => p.count));
+  for (const p of pts) {
+    const x = 30 + (p.lng - lo0) / ((lo1 - lo0) || 1) * (cv.width - 60);
+    const y = cv.height - 30 - (p.lat - la0) / ((la1 - la0) || 1) * (cv.height - 60);
+    const w = p.count / maxc;
+    const r = 12 + 30 * w;
+    const g = ctx.createRadialGradient(x, y, 0, x, y, r);
+    g.addColorStop(0, `rgba(${255},${Math.round(220-180*w)},40,${0.25+0.5*w})`);
+    g.addColorStop(1, 'rgba(255,120,40,0)');
+    ctx.fillStyle = g;
+    ctx.beginPath(); ctx.arc(x, y, r, 0, 7); ctx.fill();
+  }
+}
+</script></body></html>"""

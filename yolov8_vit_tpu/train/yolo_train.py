@@ -1,0 +1,230 @@
+"""YOLOv8 fine-tuning: dataset, train loop, val, and retrain orchestration.
+
+Replaces the reference's delegation to ultralytics
+(`/root/reference/utils/trainYolo.py`):
+
+  train(epochs, batch, data)   pre-train val + fine-tune with lr0=lrf=1e-4
+                               (:6-35) — here a jitted, shardable train step
+                               over the YOLOv8 flax model with the native
+                               TAL+CIoU+DFL loss (train/yolo_loss.py)
+  yoloRetrain()                xml2txt -> train(1, 1, yolo config) (:124-137)
+  validate(...)                model.val parity: decode + NMS at
+                               imgsz 640 / conf .25 / IoU .6, mAP50-95
+
+The dataset reads the fold0/{images,labels}/{train,val} layout produced by
+data.voc.xml2txt, letterboxes to the train size, and pads labels to a
+static `max_gt` for jit."""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Iterator
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolov8_vit_tpu.config import DetectConfig
+from yolov8_vit_tpu.models.yolov8 import (YOLOv8, YOLOV8_VARIANTS,
+                                          flatten_head_outputs)
+from yolov8_vit_tpu.runtime.detector import decode_predictions
+from yolov8_vit_tpu.runtime.engine import Engine, save_engine
+from yolov8_vit_tpu.serve.infer import _letterbox_host
+from yolov8_vit_tpu.train.map_eval import evaluate_map
+from yolov8_vit_tpu.train.yolo_loss import yolo_detection_loss
+
+
+# --------------------------------------------------------------------------
+# dataset
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class YoloDataset:
+    """fold0-layout dataset -> letterboxed batches with padded labels."""
+
+    root: str                      # .../fold0
+    split: str = "train"
+    img_size: int = 640
+    max_gt: int = 32
+
+    def __post_init__(self):
+        img_dir = os.path.join(self.root, "images", self.split)
+        self.items = []
+        if os.path.isdir(img_dir):
+            for f in sorted(os.listdir(img_dir)):
+                stem = os.path.splitext(f)[0]
+                lbl = os.path.join(self.root, "labels", self.split,
+                                   stem + ".txt")
+                if os.path.exists(lbl):
+                    self.items.append((os.path.join(img_dir, f), lbl))
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load(self, idx: int, augment: bool, rng: np.random.Generator):
+        from PIL import Image
+        path, lbl = self.items[idx]
+        with Image.open(path) as im:
+            img = np.asarray(im.convert("RGB"))
+        h, w = img.shape[:2]
+        rows = np.loadtxt(lbl, ndmin=2, dtype=np.float32)
+        if rows.size == 0:
+            rows = np.zeros((0, 5), np.float32)
+        labels = rows[:, 0].astype(np.int32)
+        cxcywh = rows[:, 1:]
+        boxes = np.stack([(cxcywh[:, 0] - cxcywh[:, 2] / 2) * w,
+                          (cxcywh[:, 1] - cxcywh[:, 3] / 2) * h,
+                          (cxcywh[:, 0] + cxcywh[:, 2] / 2) * w,
+                          (cxcywh[:, 1] + cxcywh[:, 3] / 2) * h], -1) \
+            if len(cxcywh) else np.zeros((0, 4), np.float32)
+
+        if augment and rng.random() < 0.5:          # horizontal flip
+            img = img[:, ::-1]
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+        if augment:                                  # HSV-free value jitter
+            img = np.clip(img.astype(np.float32) *
+                          (1 + rng.uniform(-0.2, 0.2)), 0, 255
+                          ).astype(np.uint8)
+
+        lb_img, ratio, (dw, dh) = _letterbox_host(
+            img[..., ::-1], (self.img_size, self.img_size))  # expects BGR
+        lb_img = lb_img[..., ::-1]                           # back to RGB
+        boxes = boxes * ratio + np.array([dw, dh, dw, dh], np.float32)
+
+        g = min(len(boxes), self.max_gt)
+        pad_boxes = np.zeros((self.max_gt, 4), np.float32)
+        pad_labels = np.zeros((self.max_gt,), np.int32)
+        pad_mask = np.zeros((self.max_gt,), bool)
+        pad_boxes[:g] = boxes[:g]
+        pad_labels[:g] = labels[:g]
+        pad_mask[:g] = True
+        return (lb_img.astype(np.float32) / 255.0, pad_boxes, pad_labels,
+                pad_mask)
+
+    def batches(self, batch_size: int, augment: bool = False,
+                seed: int = 0) -> Iterator[tuple]:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self.items)) if augment else \
+            np.arange(len(self.items))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            chunk = [self._load(int(i), augment, rng)
+                     for i in order[s:s + batch_size]]
+            yield tuple(np.stack([c[j] for c in chunk]) for j in range(4))
+
+
+# --------------------------------------------------------------------------
+# training
+# --------------------------------------------------------------------------
+
+def make_yolo_train_step(model: YOLOv8, tx, input_hw, reg_max=16):
+    def step(params, opt_state, imgs, boxes, labels, mask):
+        def loss_fn(p):
+            bd, cl = flatten_head_outputs(model.apply(p, imgs))
+            total, parts = yolo_detection_loss(bd, cl, boxes, labels, mask,
+                                               input_hw, reg_max=reg_max)
+            return total, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, parts
+
+    return jax.jit(step)
+
+
+def validate(model: YOLOv8, params, dataset: YoloDataset,
+             cfg: DetectConfig, batch_size: int = 16,
+             conf: float = 0.25) -> dict:
+    """model.val-parity evaluation: decode+NMS then mAP
+    (imgsz 640, batch 16, conf .25 — `/root/reference/utils/trainYolo.py:21-26`)."""
+    fn = jax.jit(lambda p, x: decode_predictions(model.apply(p, x), cfg))
+    preds, gts = [], []
+    for imgs, boxes, labels, mask in dataset.batches(min(batch_size,
+                                                         max(len(dataset), 1))):
+        num, bb, sc, lb = jax.tree.map(np.asarray,
+                                       fn(params, jnp.asarray(imgs)))
+        for i in range(len(imgs)):
+            n = int(num[i])
+            preds.append({"boxes": bb[i][:n], "scores": sc[i][:n],
+                          "labels": lb[i][:n]})
+            m = mask[i]
+            gts.append({"boxes": boxes[i][m], "labels": labels[i][m]})
+    return evaluate_map(preds, gts, cfg.num_classes, conf_threshold=conf)
+
+
+def train(epochs: int, batch: int, data_root: str,
+          cfg: DetectConfig = DetectConfig(variant="s"),
+          lr0: float = 1e-4, weights: str | None = None,
+          max_gt: int = 32, log_fn: Callable[[str], None] = print,
+          skip_preval: bool = False):
+    """Fine-tune (reference train(), `/root/reference/utils/trainYolo.py:6-35`).
+
+    data_root: the fold0 directory (images/labels x train/val).
+    weights: detect-engine dir to resume from (reference resumes best.pt).
+    Returns (params, {"preval": ..., "final": ...}).
+    """
+    spec = dataclasses.replace(YOLOV8_VARIANTS[cfg.variant],
+                               num_classes=cfg.num_classes,
+                               reg_max=cfg.reg_max, strides=cfg.strides)
+    model = YOLOv8(spec, fused=True)
+    size = cfg.input_size[0]
+    if weights and os.path.isdir(weights):
+        params = Engine(weights).params
+        log_fn(f"resumed from {weights}")
+    else:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+
+    train_ds = YoloDataset(data_root, "train", size, max_gt)
+    val_ds = YoloDataset(data_root, "val", size, max_gt)
+    metrics = {}
+    if len(val_ds) and not skip_preval:
+        metrics["preval"] = validate(model, params, val_ds, cfg)
+        log_fn(f"val before training: {metrics['preval']}")
+
+    # SGD momentum with constant lr (reference lr0=lrf -> flat schedule)
+    tx = optax.chain(optax.add_decayed_weights(5e-4),
+                     optax.trace(decay=0.937),
+                     optax.scale(-lr0))
+    opt_state = tx.init(params)
+    step = make_yolo_train_step(model, tx, cfg.input_size, cfg.reg_max)
+
+    for epoch in range(epochs):
+        losses = []
+        for imgs, boxes, labels, mask in train_ds.batches(
+                batch, augment=True, seed=epoch):
+            params, opt_state, loss, parts = step(
+                params, opt_state, jnp.asarray(imgs), jnp.asarray(boxes),
+                jnp.asarray(labels), jnp.asarray(mask))
+            losses.append(float(loss))
+        log_fn(f"epoch {epoch + 1}/{epochs}: "
+               f"loss {np.mean(losses) if losses else float('nan'):.4f}")
+
+    if len(val_ds):
+        metrics["final"] = validate(model, params, val_ds, cfg)
+        log_fn(f"val after training: {metrics['final']}")
+    return params, metrics
+
+
+def yolo_retrain(workdir: str = ".", cfg: DetectConfig = DetectConfig(variant="s"),
+                 epochs: int = 1, batch: int = 1,
+                 log_fn: Callable[[str], None] = print):
+    """`yoloRetrain` parity (`/root/reference/utils/trainYolo.py:124-137`):
+    convert train/new XMLs, fine-tune, export the detect engine."""
+    from yolov8_vit_tpu.data.voc import xml2txt
+
+    fold = os.path.join(workdir, "train/yolo/fold0")
+    n = xml2txt(os.path.join(workdir, "train/new"), fold)
+    log_fn(f"converted {n} annotations")
+    weights = os.path.join(workdir, "weights/detect_engine")
+    params, metrics = train(epochs, batch, fold, cfg,
+                            weights=weights if os.path.isdir(weights) else None,
+                            log_fn=log_fn)
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict["input_size"] = list(cfg_dict["input_size"])
+    cfg_dict["strides"] = list(cfg_dict["strides"])
+    save_engine(weights, "detect", params, {"detect_cfg": cfg_dict})
+    log_fn("detect engine exported")
+    return metrics
