@@ -34,6 +34,7 @@ class ViTSpec:
     mlp_ratio: float = 4.0
     backbone_classes: int = 1000       # timm head size the wrapper consumes
     ln_eps: float = 1e-6
+    attn_impl: str = "xla"             # "xla" | "pallas" (ops/attention.py)
 
     @property
     def tokens(self) -> int:
@@ -56,12 +57,17 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, t, 3, s.heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = head_dim ** -0.5
-        attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if s.attn_impl == "pallas":
+            from yolov8_vit_tpu.ops.attention import flash_attention
+            out = flash_attention(q, k, v).astype(self.dtype)
+        else:
+            scale = head_dim ** -0.5
+            attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhc->bqhc", attn, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(self.dtype)
         out = out.reshape(b, t, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
