@@ -32,8 +32,16 @@ def main() -> None:
 
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
 
     import jax
+    if args.smoke:
+        # sitecustomize may have pinned jax_platforms to the tunneled TPU;
+        # config beats env, so force CPU here too
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from yolov8_vit_tpu.config import DetectConfig

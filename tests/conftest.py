@@ -18,3 +18,10 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 from yolov8_vit_tpu.utils import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+# The environment's sitecustomize may pre-register the tunneled TPU plugin
+# and set jax_platforms="axon,cpu" via jax.config (which overrides the env
+# var).  Tests must run on the virtual 8-device CPU mesh — force it.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -53,7 +53,39 @@ def export_detect(args) -> str:
         "nms_conf": cfg.nms_conf, "nms_topk": cfg.nms_topk}}
     path = save_engine(args.out, "detect", params, meta)
     print(f"detect engine written to {path}")
+    if args.stablehlo:
+        export_stablehlo_detect(params, cfg, args.stablehlo)
     return path
+
+
+def export_stablehlo_detect(params, cfg, out_prefix: str) -> None:
+    """Emit <prefix>.mlir + <prefix>.opts.pb for the C++ PJRT driver
+    (csrc/pjrt_driver.cc).  The exported graph takes an NHWC float blob in
+    [0,1] and returns (num_dets, bboxes, scores, labels) with weights baked
+    in as constants — the full 'engine' in one artifact, like the
+    reference's serialized TensorRT plan."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+    from jaxlib import xla_client
+    from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    from yolov8_vit_tpu.runtime.detector import decode_predictions
+
+    spec = _dc.replace(YOLOV8_VARIANTS[cfg.variant],
+                       num_classes=cfg.num_classes)
+    model = YOLOv8(spec, fused=True)
+
+    def forward(x):
+        return decode_predictions(model.apply(params, x), cfg)
+
+    h, w = cfg.input_size
+    exp = jax.export.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32))
+    with open(out_prefix + ".mlir", "w") as f:
+        f.write(exp.mlir_module())
+    with open(out_prefix + ".opts.pb", "wb") as f:
+        f.write(xla_client.CompileOptions().SerializeAsString())
+    print(f"stablehlo module -> {out_prefix}.mlir / {out_prefix}.opts.pb")
 
 
 def export_classify(args) -> str:
@@ -94,6 +126,9 @@ def main(argv=None):
     d.add_argument("--iou-thres", type=float, default=0.65)
     d.add_argument("--conf-thres", type=float, default=0.25)
     d.add_argument("--topk", type=int, default=100)
+    d.add_argument("--stablehlo", default=None, metavar="PREFIX",
+                   help="also emit PREFIX.mlir + PREFIX.opts.pb for the "
+                        "C++ PJRT driver (csrc/build/mt_infer)")
     d.set_defaults(fn=export_detect)
 
     c = sub.add_parser("classify", help="build a classify engine")
