@@ -1,0 +1,90 @@
+"""Engine artifact runtime: save/load/execute + TRTModule API contract."""
+import json
+import shutil
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOv8Spec
+from yolov8_vit_tpu.runtime.engine import Engine, save_engine
+
+
+@pytest.fixture(scope="module")
+def detect_engine(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("eng") / "det")
+    spec = YOLOv8Spec(0.33, 0.125, 1024, num_classes=5)
+    model = YOLOv8(spec, fused=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))
+    save_engine(d, "detect", params,
+                {"detect_cfg": {"input_size": [64, 64], "variant": "n",
+                                "nms_pre_topk": 64, "nms_topk": 16},
+                 "det_spec": {"depth": 0.33, "width": 0.125,
+                              "max_channels": 1024}})
+    return d
+
+
+@pytest.fixture(scope="module")
+def classify_engine(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("eng") / "cls")
+    vs = dict(img_size=32, patch=8, dim=64, depth=2, heads=4,
+              backbone_classes=40)
+    model = ViTClassifier(ViTSpec(**vs), 5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, 32, 32, 3)))
+    save_engine(d, "classify", params, {"vit_spec": vs, "num_classes": 5})
+    return d
+
+
+def test_detect_engine_contract(detect_engine):
+    eng = Engine(detect_engine)
+    eng.set_desired(["num_dets", "bboxes", "scores", "labels"])
+    blob = np.random.default_rng(0).random((1, 3, 64, 64)).astype(np.float32)
+    num, bb, sc, lb = eng(blob)
+    assert bb.shape == (1, 16, 4) and sc.shape == (1, 16)
+    assert int(num[0]) >= 0
+    # inp_info mirrors TRTModule (reference reads Engine.inp_info for H/W)
+    assert eng.inp_info[0].shape == (1, 3, 64, 64)
+
+
+def test_set_desired_reorders(detect_engine):
+    eng = Engine(detect_engine)
+    eng.set_desired(["num_dets", "bboxes", "scores", "labels"])
+    blob = np.random.default_rng(0).random((1, 3, 64, 64)).astype(np.float32)
+    num, bb, sc, lb = eng(blob)
+    eng.set_desired(["labels", "num_dets"])
+    lb2, num2 = eng(blob)
+    np.testing.assert_array_equal(np.asarray(lb2), np.asarray(lb))
+    assert int(num2[0]) == int(num[0])
+
+
+def test_classify_engine_nchw_and_nhwc(classify_engine):
+    eng = Engine(classify_engine)
+    rng = np.random.default_rng(2)
+    nchw = rng.random((2, 3, 32, 32)).astype(np.float32)
+    out1 = np.asarray(eng(nchw))
+    out2 = np.asarray(eng(nchw.transpose(0, 2, 3, 1)))
+    assert out1.shape == (2, 5)
+    np.testing.assert_allclose(out1, out2, rtol=1e-5)
+
+
+def test_engine_rejects_unknown_kind(classify_engine, tmp_path):
+    bad = str(tmp_path / "bad")
+    shutil.copytree(classify_engine, bad)
+    meta = json.load(open(f"{bad}/meta.json"))
+    meta["kind"] = "segment"
+    json.dump(meta, open(f"{bad}/meta.json", "w"))
+    with pytest.raises(ValueError, match="unknown engine kind"):
+        Engine(bad)
+
+
+def test_engine_roundtrip_preserves_params(classify_engine):
+    eng1 = Engine(classify_engine)
+    eng2 = Engine(classify_engine)
+    a = jax.tree.leaves(eng1.params)
+    b = jax.tree.leaves(eng2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

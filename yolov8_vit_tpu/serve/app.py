@@ -281,9 +281,12 @@ class InspectionService:
 
 def build_default_service(workdir: str = ".",
                           detect_engine_path: str | None = None,
-                          classify_engine_path: str | None = None):
+                          classify_engine_path: str | None = None,
+                          enable_retrain: bool = True):
     """Wire InspectionService to real engines (the reference's module-level
-    init at `/root/reference/app.py:20-42`)."""
+    init at `/root/reference/app.py:20-42`) and the classifier retrain loop
+    (`:91-94`: `retrain()` fires when the label counter reaches standard;
+    `yoloRetrain` stays opt-in, as the reference ships it commented out)."""
     runner = None
     if detect_engine_path and os.path.isdir(detect_engine_path):
         from yolov8_vit_tpu.runtime.engine import Engine
@@ -296,7 +299,14 @@ def build_default_service(workdir: str = ".",
         def runner(input_dir):
             return infer_main(det, input_dir, model_list=model_list)
 
-    return InspectionService(workdir=workdir, runner=runner)
+    retrain_fn = None
+    if enable_retrain:
+        def retrain_fn(log):
+            from yolov8_vit_tpu.train.classify import retrain
+            retrain(log=log, workdir=workdir)
+
+    return InspectionService(workdir=workdir, runner=runner,
+                             retrain_fn=retrain_fn)
 
 
 def main_cli(argv=None):
