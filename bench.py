@@ -28,6 +28,9 @@ def main() -> None:
                     help="classifier patch size; BASELINE.json's two-stage "
                          "config names ViT-B/16 (the reference code runs "
                          "B/8 — pass --vit b8 for that protocol)")
+    ap.add_argument("--quant", action="store_true",
+                    default=os.environ.get("BENCH_QUANT", "") == "1",
+                    help="int8 W8A8 ViT dense layers")
     args = ap.parse_args()
 
     if args.smoke:
@@ -60,7 +63,8 @@ def main() -> None:
         img_hw = (96, 128)
     else:
         det_cfg = DetectConfig(variant="s")
-        vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16)
+        vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16,
+                           quant="w8" if args.quant else "none")
         batch, iters = args.batch, args.iters
         img_hw = (640, 640)
 
@@ -106,7 +110,7 @@ def main() -> None:
             "iters": iters,
             "classify_budget": args.budget,
             "step_ms": round(p50_latency_ms, 2),
-            "vit": args.vit,
+            "vit": args.vit + ("-int8" if args.quant else ""),
             "device": str(jax.devices()[0]),
             "smoke": args.smoke,
         },

@@ -1,0 +1,77 @@
+"""int8 W8A8 quantization: op-level error bounds + ViT logits stability."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolov8_vit_tpu.ops.quant import quantize_weight, quantize_act, quant_dense
+
+
+def test_weight_quant_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    w_i8, s = quantize_weight(jnp.asarray(w))
+    w_hat = np.asarray(w_i8, np.float32) * np.asarray(s)[None, :]
+    # per-channel symmetric: error <= scale/2 per element
+    assert np.abs(w_hat - w).max() <= np.asarray(s).max() / 2 + 1e-7
+
+
+def test_act_quant_per_row():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 64)).astype(np.float32) * \
+        np.logspace(-2, 2, 8)[:, None].astype(np.float32)  # wild row scales
+    x_i8, s = quantize_act(jnp.asarray(x))
+    x_hat = np.asarray(x_i8, np.float32) * np.asarray(s)
+    rel = np.abs(x_hat - x).max(axis=1) / np.abs(x).max(axis=1)
+    assert rel.max() < 1 / 127  # per-row scaling keeps rows independent
+
+
+def test_quant_dense_close_to_f32():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(16, 128)).astype(np.float32)
+    w = rng.normal(size=(128, 64)).astype(np.float32) * 0.05
+    b = rng.normal(size=(64,)).astype(np.float32) * 0.1
+    ref = x @ w + b
+    got = np.asarray(quant_dense(jnp.asarray(x), jnp.asarray(w),
+                                 jnp.asarray(b)))
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() / denom < 0.02
+
+
+def test_quant_vit_logits_close_and_argmax_stable():
+    from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+    spec = ViTSpec(img_size=32, patch=8, dim=64, depth=2, heads=4,
+                   backbone_classes=40)
+    qspec = dataclasses.replace(spec, quant="dynamic")
+    m = ViTClassifier(spec, 5)
+    q = ViTClassifier(qspec, 5)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3)))
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(4, 32, 32, 3)),
+                    jnp.float32)
+    ref = np.asarray(m.apply(params, x))
+    got = np.asarray(q.apply(params, x))
+    # quantization noise stays small relative to logit spread
+    spread = ref.max() - ref.min() + 1e-6
+    assert np.abs(got - ref).max() / spread < 0.15
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_prequantized_matches_dynamic():
+    """quant='w8' over prequantize_tree params == quant='dynamic' exactly
+    (same weight quantization, amortized offline)."""
+    from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+    from yolov8_vit_tpu.ops.quant import prequantize_tree
+    spec = ViTSpec(img_size=32, patch=8, dim=64, depth=2, heads=4,
+                   backbone_classes=40)
+    dyn = ViTClassifier(dataclasses.replace(spec, quant="dynamic"), 5)
+    pre = ViTClassifier(dataclasses.replace(spec, quant="w8"), 5)
+    params = jax.jit(dyn.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+    qparams = prequantize_tree(params)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    a = np.asarray(dyn.apply(params, x))
+    b = np.asarray(pre.apply(qparams, x))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

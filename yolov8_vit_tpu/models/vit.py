@@ -35,6 +35,10 @@ class ViTSpec:
     backbone_classes: int = 1000       # timm head size the wrapper consumes
     ln_eps: float = 1e-6
     attn_impl: str = "xla"             # "xla" | "pallas" (ops/attention.py)
+    # W8A8 int8 dense layers (ops/quant.py): "none" | "dynamic" (weights
+    # quantized per forward; f32 param layout) | "w8" (pre-quantized int8
+    # kernel params — the fast path; convert with ops.quant.prequantize_tree)
+    quant: str = "none"
 
     @property
     def tokens(self) -> int:
@@ -43,6 +47,47 @@ class ViTSpec:
 
 VIT_B8_224 = ViTSpec()
 VIT_B16_224 = ViTSpec(patch=16)
+VIT_S16_224 = ViTSpec(patch=16, dim=384, heads=6)
+VIT_L16_224 = ViTSpec(patch=16, dim=1024, depth=24, heads=16)
+
+
+class QuantDense(nn.Module):
+    """Drop-in nn.Dense with the int8 MXU path — identical param layout
+    ({kernel, bias}), so f32 engines load unchanged (weights quantize per
+    forward; use QuantDensePre for production)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from yolov8_vit_tpu.ops.quant import quant_dense
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return quant_dense(x, kernel, bias).astype(self.dtype)
+
+
+class QuantDensePre(nn.Module):
+    """int8 dense over pre-quantized params {kernel_i8, w_scale, bias}
+    (produced by ops.quant.prequantize_tree from an f32 engine)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from yolov8_vit_tpu.ops.quant import quant_dense_fused
+        k = self.param("kernel_i8",
+                       lambda _rng, shape: jnp.zeros(shape, jnp.int8),
+                       (x.shape[-1], self.features))
+        s = self.param("w_scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return quant_dense_fused(x, k, s, b).astype(self.dtype)
+
+
+def _dense(spec: "ViTSpec", features: int, dtype, name: str):
+    cls = {"none": nn.Dense, "dynamic": QuantDense,
+           "w8": QuantDensePre}[spec.quant]
+    return cls(features, dtype=dtype, name=name)
 
 
 class Attention(nn.Module):
@@ -54,7 +99,7 @@ class Attention(nn.Module):
         s = self.spec
         b, t, d = x.shape
         head_dim = d // s.heads
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = _dense(s, 3 * d, self.dtype, "qkv")(x)
         qkv = qkv.reshape(b, t, 3, s.heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if s.attn_impl == "pallas":
@@ -69,7 +114,7 @@ class Attention(nn.Module):
                              preferred_element_type=jnp.float32
                              ).astype(self.dtype)
         out = out.reshape(b, t, d)
-        return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+        return _dense(s, d, self.dtype, "proj")(out)
 
 
 class Block(nn.Module):
@@ -82,9 +127,9 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(s, dtype=self.dtype, name="attn")(h)
         h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(int(s.dim * s.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = _dense(s, int(s.dim * s.mlp_ratio), self.dtype, "mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(s.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        h = _dense(s, s.dim, self.dtype, "mlp_fc2")(h)
         return x + h
 
 

@@ -105,6 +105,10 @@ def export_classify(args) -> str:
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jnp.zeros((1, spec.img_size, spec.img_size, 3)))
+    if args.quant:
+        from yolov8_vit_tpu.ops.quant import prequantize_tree
+        params = prequantize_tree(params)
+        spec = dataclasses.replace(spec, quant="w8")
     meta = {"vit_spec": dataclasses.asdict(spec),
             "num_classes": args.num_classes, "model_name": args.model}
     path = save_engine(args.out, "classify", params, meta)
@@ -137,6 +141,8 @@ def main(argv=None):
     c.add_argument("--out", required=True)
     c.add_argument("--model", default="vit_base_patch8_224.augreg_in21k")
     c.add_argument("--num-classes", type=int, default=5)
+    c.add_argument("--quant", action="store_true",
+                   help="pre-quantize dense weights to int8 (W8A8 engine)")
     c.set_defaults(fn=export_classify)
 
     args = ap.parse_args(argv)
