@@ -58,20 +58,46 @@ def test_quant_vit_logits_close_and_argmax_stable():
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
 
 
-def test_prequantized_matches_dynamic():
-    """quant='w8' over prequantize_tree params == quant='dynamic' exactly
-    (same weight quantization, amortized offline)."""
+def test_fused_mlp_matches_unfused_math():
+    """quant_mlp_fused == quantize -> int8 fc1 -> tanh-gelu -> quantize ->
+    int8 fc2 -> +res composed from the unfused ops."""
+    from yolov8_vit_tpu.ops.quant import (quantize_weight, quant_dense_pre,
+                                          quant_mlp_fused)
+    rng = np.random.default_rng(5)
+    m, d, hid = 48, 64, 256
+    h = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    w1, b1 = rng.normal(size=(d, hid)).astype(np.float32) * 0.1, \
+        rng.normal(size=(hid,)).astype(np.float32) * 0.1
+    w2, b2 = rng.normal(size=(hid, d)).astype(np.float32) * 0.1, \
+        rng.normal(size=(d,)).astype(np.float32) * 0.1
+    w1q, s1 = quantize_weight(jnp.asarray(w1))
+    w2q, s2 = quantize_weight(jnp.asarray(w2))
+
+    a = quant_dense_pre(h, w1q, s1, jnp.asarray(b1))
+    a = jax.nn.gelu(a, approximate=True)
+    ref = res + quant_dense_pre(a, w2q, s2, jnp.asarray(b2))
+    got = quant_mlp_fused(h, res, w1q, s1, jnp.asarray(b1), w2q, s2,
+                          jnp.asarray(b2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_w8_vit_close_to_f32():
+    """quant='w8' (fused int8 MLP, f32 attention) tracks the f32 model."""
     from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
     from yolov8_vit_tpu.ops.quant import prequantize_tree
     spec = ViTSpec(img_size=32, patch=8, dim=64, depth=2, heads=4,
                    backbone_classes=40)
-    dyn = ViTClassifier(dataclasses.replace(spec, quant="dynamic"), 5)
-    pre = ViTClassifier(dataclasses.replace(spec, quant="w8"), 5)
-    params = jax.jit(dyn.init)(jax.random.PRNGKey(0),
+    f32 = ViTClassifier(spec, 5)
+    w8 = ViTClassifier(dataclasses.replace(spec, quant="w8"), 5)
+    params = jax.jit(f32.init)(jax.random.PRNGKey(0),
                                jnp.zeros((1, 32, 32, 3)))
     qparams = prequantize_tree(params)
-    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 32, 32, 3)),
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(4, 32, 32, 3)),
                     jnp.float32)
-    a = np.asarray(dyn.apply(params, x))
-    b = np.asarray(pre.apply(qparams, x))
-    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    a = np.asarray(f32.apply(params, x))
+    b = np.asarray(w8.apply(qparams, x))
+    spread = a.max() - a.min() + 1e-6
+    assert np.abs(b - a).max() / spread < 0.15
+    np.testing.assert_array_equal(b.argmax(-1), a.argmax(-1))

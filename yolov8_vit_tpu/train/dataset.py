@@ -102,19 +102,24 @@ class ClassifierData:
         """Yield (imgs NHWC float32, onehot float32)."""
         size = self.cfg.img_size[0]
         nc = self.cfg.num_classes
-        rng = np.random.default_rng(self.seed + epoch * 1009)
+        # one child rng per item: loaders run on a thread pool, and a shared
+        # Generator would make sampling depend on thread scheduling
+        def item_rng(i):
+            return np.random.default_rng([self.seed, epoch, i])
 
-        def load_train(_):
+        def load_train(i):
+            rng = item_rng(i)
             row = self._sample_row(rng)
             img = crop_record(row, True, rng)
             return train_transform(img, rng, size), row["objects"]["label"]
 
-        def load_eval(row):
-            img = crop_record(row, False, rng)
+        def load_eval(args):
+            i, row = args
+            img = crop_record(row, False, item_rng(i))
             return eval_transform(img, size), row["objects"]["label"]
 
         items = (range(len(self.eval_set)) if self.training
-                 else list(self.eval_set))
+                 else list(enumerate(self.eval_set)))
         loader = load_train if self.training else load_eval
         with ThreadPoolExecutor(self.workers) as pool:
             batch_imgs, batch_labels = [], []

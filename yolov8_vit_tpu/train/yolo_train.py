@@ -118,7 +118,12 @@ class YoloDataset:
 # training
 # --------------------------------------------------------------------------
 
-def make_yolo_train_step(model: YOLOv8, tx, input_hw, reg_max=16):
+def make_yolo_train_step(model: YOLOv8, tx, input_hw, reg_max=16, mesh=None):
+    """Jitted (optionally data-sharded) YOLO train step.
+
+    With a mesh, batch arrays shard over the `data` axis and params/opt
+    state replicate — the XLA partitioner inserts the gradient psums
+    (no hand-written sync, unlike a DDP port would need)."""
     def step(params, opt_state, imgs, boxes, labels, mask):
         def loss_fn(p):
             bd, cl = flatten_head_outputs(model.apply(p, imgs))
@@ -131,7 +136,15 @@ def make_yolo_train_step(model: YOLOv8, tx, input_hw, reg_max=16):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, parts
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(step,
+                   in_shardings=(rep, rep, data, data, data, data),
+                   out_shardings=(rep, rep, rep,
+                                  {"box": rep, "cls": rep, "dfl": rep}))
 
 
 def validate(model: YOLOv8, params, dataset: YoloDataset,
