@@ -303,10 +303,17 @@ def build_default_service(workdir: str = ".",
     if enable_retrain:
         def retrain_fn(log):
             from yolov8_vit_tpu.train.classify import retrain
-            retrain(log=log, workdir=workdir)
 
+            def sse_log(msg):
+                print(msg)
+                HUB.publish({"message": str(msg)}, type_="log")
+
+            retrain(log=log, workdir=workdir, log_fn=sse_log)
+
+    from yolov8_vit_tpu.serve.geocode import location2lalo
     return InspectionService(workdir=workdir, runner=runner,
-                             retrain_fn=retrain_fn)
+                             retrain_fn=retrain_fn,
+                             geocode_fn=location2lalo)
 
 
 def main_cli(argv=None):
