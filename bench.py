@@ -1,8 +1,15 @@
-"""End-to-end two-stage throughput benchmark.
+"""Benchmark harness for the five BASELINE.json configs.  Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline", "extra": {...}}.
 
-Measures the fused detect->NMS->crop->classify pipeline (YOLOv8-s 640px +
-ViT-B/8 224px, the reference configuration) in images/sec/chip against the
-north-star target of 1,500 img/s/chip (BASELINE.md).  Prints ONE JSON line.
+Modes (--mode):
+  two_stage  (default, BASELINE config #3) fused detect->NMS->crop->classify
+             (YOLOv8-s 640 + ViT-B/16 224) in images/sec/chip vs the
+             1,500 img/s/chip north star
+  detect     (config #2) YOLOv8-n 640 detect + NMS images/sec/chip
+  classify   (config #1) ViT classifier forward images/sec/chip
+  train      (config #5) ViT fine-tune step throughput (images/sec)
+  serve      (config #4) batched-stream serving path: native JPEG decode ->
+             bucketed fused pipeline, end-to-end images/sec incl. host work
 
 Usage:
     python bench.py              # real device (TPU), full-size models
@@ -17,8 +24,40 @@ import sys
 import time
 
 
+def _emit(metric, value, unit, vs_baseline, **extra) -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 4),
+                      "extra": extra}))
+
+
+def _barrier_factory(jax, jnp):
+    """Completion barrier: on the tunneled axon platform block_until_ready
+    is unreliable, so materialize a tiny scalar reduction — the device
+    executes enqueued programs in order, so a 4-byte fetch of the LAST
+    step's output waits for the whole loop."""
+    red = jax.jit(lambda o: jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda x: jnp.sum(x).astype(jnp.float32), o)))
+    return lambda out: float(red(out))
+
+
+def _timed(fn, args, iters, barrier):
+    out = fn(*args)
+    barrier(out)
+    out = fn(*args)
+    barrier(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    barrier(out)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default=os.environ.get("BENCH_MODE", "two_stage"),
+                    choices=["two_stage", "detect", "classify", "train",
+                             "serve"])
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 8)))
     ap.add_argument("--iters", type=int, default=int(os.environ.get("BENCH_ITERS", 50)))
@@ -49,12 +88,18 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
-    from yolov8_vit_tpu.config import DetectConfig
-    from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
-    from yolov8_vit_tpu.models.vit import ViTSpec
     from yolov8_vit_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    barrier = _barrier_factory(jax, jnp)
+    rng = np.random.default_rng(0)
+    n_chips = jax.device_count()
+    device = str(jax.devices()[0])
+    vit_tag = args.vit + ("-int8" if args.quant else "")
+
+    # ---- shared model configs ---------------------------------------------
+    from yolov8_vit_tpu.config import DetectConfig
+    from yolov8_vit_tpu.models.vit import ViTSpec
 
     if args.smoke:
         det_cfg = DetectConfig(input_size=(64, 64), variant="n",
@@ -63,61 +108,151 @@ def main() -> None:
                            backbone_classes=40)
         batch, iters = 2, 3
         img_hw = (96, 128)
+        dtype = jnp.float32
     else:
-        det_cfg = DetectConfig(variant="s")
+        det_cfg = DetectConfig(
+            variant="s" if args.mode in ("two_stage", "serve") else "n")
         vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16,
                            quant="w8" if args.quant else "none")
         batch, iters = args.batch, args.iters
         img_hw = (640, 640)
+        dtype = jnp.bfloat16
 
-    dtype = jnp.bfloat16 if not args.smoke else jnp.float32
-    pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
-                            classify_budget=args.budget, dtype=dtype)
-    params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+    # ---- modes --------------------------------------------------------------
+    if args.mode in ("two_stage", "serve"):
+        from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
+        pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
+                                classify_budget=args.budget, dtype=dtype)
+        params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 256, (batch, *img_hw, 3),
-                                      dtype=np.uint8))
-    fn = jax.jit(pipe.__call__)
-    # completion barrier: on the tunneled axon platform block_until_ready is
-    # unreliable, so force a tiny scalar fetch — the device executes enqueued
-    # programs in order, so materializing a reduction of the LAST step's
-    # output waits for the whole loop with a 4-byte transfer.
-    barrier = jax.jit(lambda o: (jnp.sum(o["boxes"]) +
-                                 jnp.sum(o["cls_scores"])).astype(jnp.float32))
+        if args.mode == "two_stage":
+            images = jnp.asarray(rng.integers(
+                0, 256, (batch, *img_hw, 3), dtype=np.uint8))
+            fn = jax.jit(pipe.__call__)
+            dt = _timed(fn, (params, images), iters, barrier)
+            v = batch * iters / dt / n_chips
+            _emit("two_stage_images_per_sec_per_chip", v, "images/s/chip",
+                  v / 1500.0, batch=batch, iters=iters,
+                  classify_budget=args.budget,
+                  step_ms=round(dt / iters * 1e3, 2), vit=vit_tag,
+                  device=device, smoke=args.smoke)
+            return
 
-    # warmup / compile
-    out = fn(params, images)
-    float(barrier(out))
-    out = fn(params, images)
-    float(barrier(out))
+        # serve: host decode (native lib if built) + bucketed device
+        # pipeline over a STREAM of files (chunks enqueue before any result
+        # fetch, so decode/compute/transfer overlap)
+        import tempfile
+        import cv2
+        from yolov8_vit_tpu.serve.batch_runner import BatchRunner
+        tmp = tempfile.mkdtemp(prefix="bench_serve_")
+        n_files = batch * max(iters // 5, 1)
+        paths = []
+        for i in range(n_files):
+            img = np.full((*img_hw, 3), 70, np.uint8)
+            cv2.circle(img, (img_hw[1] // 2 + (i % 8) * 10, img_hw[0] // 2),
+                       60, (200, 180, 160), -1)
+            p = os.path.join(tmp, f"f{i}.jpg")
+            cv2.imwrite(p, img)
+            paths.append(p)
+        runner = BatchRunner(pipe, params, max_batch=batch)
+        runner.run_paths(paths[:batch])  # warm compile
+        # request-response loop (one batch per call).  NOTE: on a tunneled
+        # device this measures mostly the host->device image upload
+        # (~10 MB per 640px batch at tens of MB/s), not the framework —
+        # on directly-attached TPUs the device step dominates.
+        t0 = time.perf_counter()
+        loops = max(iters // 5, 1)
+        for i in range(loops):
+            res = runner.run_paths(paths[i * batch:(i + 1) * batch])
+        dt = time.perf_counter() - t0
+        assert all(r is not None for r in res)
+        v = batch * loops / dt / n_chips
+        _emit("serve_stream_images_per_sec_per_chip", v, "images/s/chip",
+              v / 1500.0, batch=batch, loops=loops, vit=vit_tag,
+              device=device, smoke=args.smoke,
+              note="end-to-end incl. host JPEG decode + device upload")
+        return
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, images)
-    float(barrier(out))
-    dt = time.perf_counter() - t0
+    if args.mode == "detect":
+        import dataclasses
+        from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+        from yolov8_vit_tpu.runtime.detector import decode_predictions
+        from yolov8_vit_tpu.ops import area_sorted_nms
+        spec = dataclasses.replace(
+            YOLOV8_VARIANTS[det_cfg.variant], num_classes=det_cfg.num_classes)
+        model = YOLOv8(spec, fused=True)
+        size = det_cfg.input_size
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, *size, 3), dtype))
+        x = jnp.asarray(rng.random((batch, *size, 3)), dtype)
 
-    n_chips = jax.device_count()
-    img_per_sec_per_chip = batch * iters / dt / n_chips
-    p50_latency_ms = dt / iters * 1000.0  # per-batch step latency
+        def fwd(p, x):
+            num, boxes, scores, labels = decode_predictions(
+                model.apply(p, x), det_cfg)
+            keep = jax.vmap(lambda b, s, v: area_sorted_nms(
+                b, s, v, iou_threshold=det_cfg.custom_nms_iou,
+                score_threshold=det_cfg.conf_second))(
+                    boxes, scores, labels >= 0)
+            return {"num": num, "boxes": boxes, "keep": keep}
 
-    result = {
-        "metric": "two_stage_images_per_sec_per_chip",
-        "value": round(img_per_sec_per_chip, 2),
-        "unit": "images/s/chip",
-        "vs_baseline": round(img_per_sec_per_chip / 1500.0, 4),
-        "extra": {
-            "batch": batch,
-            "iters": iters,
-            "classify_budget": args.budget,
-            "step_ms": round(p50_latency_ms, 2),
-            "vit": args.vit + ("-int8" if args.quant else ""),
-            "device": str(jax.devices()[0]),
-            "smoke": args.smoke,
-        },
-    }
-    print(json.dumps(result))
+        fn = jax.jit(fwd)
+        dt = _timed(fn, (params, x), iters, barrier)
+        v = batch * iters / dt / n_chips
+        _emit("detect_images_per_sec_per_chip", v, "images/s/chip",
+              v / 1500.0, batch=batch, variant=det_cfg.variant,
+              step_ms=round(dt / iters * 1e3, 2), device=device,
+              smoke=args.smoke)
+        return
+
+    if args.mode == "classify":
+        from yolov8_vit_tpu.models.vit import ViTClassifier
+        model = ViTClassifier(vit_spec, 5, dtype=dtype)
+        s = vit_spec.img_size
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, s, s, 3), dtype))
+        if vit_spec.quant == "w8":
+            from yolov8_vit_tpu.ops.quant import prequantize_tree
+            params = prequantize_tree(params)
+        x = jnp.asarray(rng.random((batch, s, s, 3)), dtype)
+        fn = jax.jit(model.apply)
+        dt = _timed(fn, (params, x), iters, barrier)
+        v = batch * iters / dt / n_chips
+        _emit("classify_images_per_sec_per_chip", v, "images/s/chip",
+              v / 1500.0, batch=batch, vit=vit_tag,
+              step_ms=round(dt / iters * 1e3, 2), device=device,
+              smoke=args.smoke)
+        return
+
+    if args.mode == "train":
+        from yolov8_vit_tpu.config import CFG
+        from yolov8_vit_tpu.models.vit import ViTClassifier
+        from yolov8_vit_tpu.train import make_optimizer, make_train_step
+        cfg = CFG()
+        tspec = vit_spec if args.smoke else ViTSpec(
+            patch=8 if args.vit == "b8" else 16)   # training stays f32/bf16
+        model = ViTClassifier(tspec, cfg.num_classes)
+        tx = make_optimizer(cfg)
+        s = tspec.img_size
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, s, s, 3)))
+        opt_state = tx.init(params)
+        step = jax.jit(make_train_step(model, tx))
+        imgs = jnp.asarray(rng.normal(size=(batch, s, s, 3)), jnp.float32)
+        onehot = jnp.asarray(np.eye(5, dtype=np.float32)[
+            rng.integers(0, 5, batch)])
+
+        def fn(params, opt_state):
+            p, o, loss, c = step(params, opt_state, imgs, onehot,
+                                 jnp.float32(cfg.lr))
+            return {"loss": loss, "c": c}
+
+        dt = _timed(fn, (params, opt_state), iters, barrier)
+        v = batch * iters / dt / n_chips
+        _emit("vit_train_images_per_sec_per_chip", v, "images/s/chip",
+              0.0, batch=batch, vit=args.vit,
+              step_ms=round(dt / iters * 1e3, 2), device=device,
+              smoke=args.smoke)
+        return
 
 
 if __name__ == "__main__":

@@ -34,7 +34,46 @@ class BatchRunner:
     max_batch: int = 8
 
     def __post_init__(self):
-        self._fn = jax.jit(self.pipeline.__call__)
+        # pack all outputs into ONE f32 array so fetching results costs a
+        # single device->host transfer (over tunneled transports each fetch
+        # pays a full round trip; 7 fetches made serving latency-bound)
+        def packed(params, images):
+            o = self.pipeline(params, images)
+            b = images.shape[0]
+            return jnp.concatenate([
+                o["num_dets"].reshape(b, 1).astype(jnp.float32),
+                o["boxes"].reshape(b, -1),
+                o["det_scores"],
+                o["det_labels"].astype(jnp.float32),
+                o["final_valid"].astype(jnp.float32),
+                o["cls_labels"].astype(jnp.float32),
+                o["cls_scores"],
+            ], axis=1)
+
+        self._fn = jax.jit(packed)
+
+    def _unpack(self, arr: np.ndarray) -> list[dict]:
+        t = self.pipeline.det_cfg.nms_topk
+        out = []
+        for row in arr:
+            i = 0
+
+            def take(n):
+                nonlocal i
+                v = row[i:i + n]
+                i += n
+                return v
+
+            out.append({
+                "num_dets": int(take(1)[0]),
+                "boxes": take(4 * t).reshape(t, 4),
+                "det_scores": take(t),
+                "det_labels": take(t).astype(np.int32),
+                "final_valid": take(t).astype(bool),
+                "cls_labels": take(t).astype(np.int32),
+                "cls_scores": take(t),
+            })
+        return out
 
     # ------------------------------------------------------------------
     def _decode(self, path: str):
@@ -54,21 +93,32 @@ class BatchRunner:
 
     def run_paths(self, paths: Sequence[str]) -> list[dict | None]:
         """Decode + run; returns one result dict per input path (None when
-        the image failed to decode), in input order."""
-        imgs = [self._decode(p) for p in paths]
+        the image failed to decode), in input order.
+
+        Pipelined: images decode on a thread pool, every chunk is ENQUEUED
+        to the device before any result is fetched (dispatch is async), and
+        the packed single-array results are materialized last — so host
+        decode, device compute, and result transfer all overlap."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, max(len(paths), 1))) as pool:
+            imgs = list(pool.map(self._decode, paths))
         results: list[dict | None] = [None] * len(paths)
         buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
         for i, img in enumerate(imgs):
             if img is not None:
                 buckets[img.shape[:2]].append(i)
+        pending = []   # (chunk indices, device array)
         for _hw, idxs in buckets.items():
             for start in range(0, len(idxs), self.max_batch):
                 chunk = idxs[start:start + self.max_batch]
                 batch = np.stack([imgs[i] for i in chunk])
-                out = self._fn(self.params, jnp.asarray(batch))
-                out = jax.tree.map(np.asarray, out)
-                for j, i in enumerate(chunk):
-                    results[i] = {k: v[j] for k, v in out.items()}
+                pending.append((chunk, self._fn(self.params,
+                                                jnp.asarray(batch))))
+        for chunk, dev in pending:
+            packed = np.asarray(dev)
+            for j, rec in enumerate(self._unpack(packed)):
+                results[chunk[j]] = rec
         return results
 
     # ------------------------------------------------------------------

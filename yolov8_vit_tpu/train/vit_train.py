@@ -155,15 +155,35 @@ class ViTTrainer:
     # ---- full training (reference train(CFG) semantics) -------------------
     def fit(self, params, opt_state, train_loader_fn, valid_loader_fn,
             save_checkpoint: Callable[[Any], None] | None = None,
-            log: bool = False):
+            log: bool = False, checkpointer=None,
+            stop_after_epoch: int | None = None):
         """train_loader_fn/valid_loader_fn: () -> iterable of (imgs, onehot).
 
         Best-val gating + result.json-style metric log
         (`/root/reference/utils/trainClass.py:459-508`).
+
+        `checkpointer` (utils.checkpoint.TrainCheckpointer, optional) saves
+        full train state (params + optimizer + best metric) after every
+        epoch and resumes from the latest step — the reference can only
+        restart from bare best-val weights (SURVEY.md §5).
         """
         best_val_acc = 0.0
         results = {}
-        for epoch in range(1, self.cfg.epoch + 1):
+        start_epoch = 1
+        if checkpointer is not None:
+            latest = checkpointer.latest_step()
+            if latest is not None:
+                state = checkpointer.restore(
+                    latest, template={"params": params,
+                                      "opt_state": opt_state,
+                                      "extra": {"best_val_acc": 0.0}})
+                params = state["params"]
+                opt_state = state["opt_state"]
+                best_val_acc = float(state["extra"].get("best_val_acc", 0.0))
+                start_epoch = latest + 1
+                self.log_fn(f"resumed from checkpoint step {latest} "
+                            f"(best {best_val_acc:.2f}%)")
+        for epoch in range(start_epoch, self.cfg.epoch + 1):
             t0 = time.time()
             params, opt_state, tr_loss, tr_acc = self.train_one_epoch(
                 params, opt_state, train_loader_fn(), epoch - 1)
@@ -186,6 +206,11 @@ class ViTTrainer:
                 if save_checkpoint is not None:
                     save_checkpoint(params)
                 self.log_fn(f"New best model (val acc {val_acc:.3f}%)")
+            if checkpointer is not None:
+                checkpointer.save(epoch, params, opt_state,
+                                  extra={"best_val_acc": best_val_acc})
             self.log_fn(f"epoch:{epoch}, time:{time.time()-t0:.2f}s, "
                         f"best_val_acc:{best_val_acc:.2f}%")
+            if stop_after_epoch is not None and epoch >= stop_after_epoch:
+                break   # simulated interruption; resume via checkpointer
         return params, opt_state, best_val_acc

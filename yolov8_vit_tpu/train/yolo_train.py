@@ -171,7 +171,7 @@ def train(epochs: int, batch: int, data_root: str,
           cfg: DetectConfig = DetectConfig(variant="s"),
           lr0: float = 1e-4, weights: str | None = None,
           max_gt: int = 32, log_fn: Callable[[str], None] = print,
-          skip_preval: bool = False):
+          skip_preval: bool = False, use_ema: bool = True, mesh=None):
     """Fine-tune (reference train(), `/root/reference/utils/trainYolo.py:6-35`).
 
     data_root: the fold0 directory (images/labels x train/val).
@@ -202,8 +202,11 @@ def train(epochs: int, batch: int, data_root: str,
                      optax.trace(decay=0.937),
                      optax.scale(-lr0))
     opt_state = tx.init(params)
-    step = make_yolo_train_step(model, tx, cfg.input_size, cfg.reg_max)
+    step = make_yolo_train_step(model, tx, cfg.input_size, cfg.reg_max,
+                                mesh=mesh)
 
+    from yolov8_vit_tpu.train.ema import EMA
+    ema = EMA(params) if use_ema else None
     for epoch in range(epochs):
         losses = []
         for imgs, boxes, labels, mask in train_ds.batches(
@@ -211,14 +214,18 @@ def train(epochs: int, batch: int, data_root: str,
             params, opt_state, loss, parts = step(
                 params, opt_state, jnp.asarray(imgs), jnp.asarray(boxes),
                 jnp.asarray(labels), jnp.asarray(mask))
+            if ema is not None:
+                ema.update(params)
             losses.append(float(loss))
         log_fn(f"epoch {epoch + 1}/{epochs}: "
                f"loss {np.mean(losses) if losses else float('nan'):.4f}")
 
+    # ultralytics validates/exports the EMA weights
+    final_params = ema.params if (ema is not None and ema.updates) else params
     if len(val_ds):
-        metrics["final"] = validate(model, params, val_ds, cfg)
+        metrics["final"] = validate(model, final_params, val_ds, cfg)
         log_fn(f"val after training: {metrics['final']}")
-    return params, metrics
+    return final_params, metrics
 
 
 def yolo_retrain(workdir: str = ".", cfg: DetectConfig = DetectConfig(variant="s"),
