@@ -197,6 +197,20 @@ def xml2txt(src_dir: str, dst_root: str = "train/yolo/fold0",
     return n
 
 
+def yolo2dict(xml_dir: str) -> list[tuple[str, list[dict]]]:
+    """VOC dir -> sorted [(image_filename, [{'name': label_int, 'xmin'...}])]
+    (reference `yolo2dict`, `/root/reference/utils/trainYolo.py:40-120`,
+    including numeric-string label passthrough)."""
+    out = []
+    for rec in scan_xml_dirs([xml_dir]):
+        objs = [{"name": o["label"], "xmin": o["xmin"], "ymin": o["ymin"],
+                 "xmax": o["xmax"], "ymax": o["ymax"]}
+                for o in rec["objects"]]
+        out.append((rec["name"] + ".jpg", objs))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
 def deliver(source_dir: str = "train/new/",
             dest_train: str = "train/new_train",
             dest_val: str = "train/new_valid",
