@@ -52,6 +52,8 @@ class TwoStagePipeline:
     num_classes: int = 5
     classify_budget: int = 4          # avg crops classified per image
     dtype: Any = jnp.float32          # activation dtype for both models
+    stem_s2d: bool = True             # letterbox emits s2d cells (bit-exact,
+                                      # faster stem; see ops/letterbox.py)
 
     @property
     def detector(self) -> YOLOv8:
@@ -59,7 +61,7 @@ class TwoStagePipeline:
                                    num_classes=self.det_cfg.num_classes,
                                    reg_max=self.det_cfg.reg_max,
                                    strides=self.det_cfg.strides)
-        return YOLOv8(spec, fused=True)
+        return YOLOv8(spec, fused=True, stem_s2d=self.stem_s2d)
 
     @property
     def classifier(self) -> ViTClassifier:
@@ -68,8 +70,11 @@ class TwoStagePipeline:
     def init_params(self, rng, image_hw: tuple[int, int] = (640, 640)):
         """Random-init both param trees (for tests/benchmarks)."""
         r1, r2 = jax.random.split(rng)
-        det = self.detector.init(
-            r1, jnp.zeros((1, *self.det_cfg.input_size, 3), self.dtype))
+        h, w = self.det_cfg.input_size
+        det_in = (jnp.zeros((1, h // 2 + 1, w // 2 + 1, 12), self.dtype)
+                  if self.stem_s2d else
+                  jnp.zeros((1, h, w, 3), self.dtype))
+        det = self.detector.init(r1, det_in)
         vs = self.vit_spec
         vit = self.classifier.init(
             r2, jnp.zeros((1, vs.img_size, vs.img_size, 3), self.dtype))
@@ -93,9 +98,15 @@ class TwoStagePipeline:
         t = cfg.nms_topk
 
         # ---- stage 1: detect --------------------------------------------
-        lb, ratio, dwdh = letterbox_fast(images, cfg.input_size,
-                                         pad_value=cfg.pad_value,
-                                         dtype=self.dtype)
+        if self.stem_s2d:
+            from yolov8_vit_tpu.ops.letterbox import letterbox_s2d
+            lb, ratio, dwdh = letterbox_s2d(images, cfg.input_size,
+                                            pad_value=cfg.pad_value,
+                                            dtype=self.dtype)
+        else:
+            lb, ratio, dwdh = letterbox_fast(images, cfg.input_size,
+                                             pad_value=cfg.pad_value,
+                                             dtype=self.dtype)
         det_in = blob(lb).astype(self.dtype)
         head = self.detector.apply(params["det"], det_in)
         num_dets, boxes_lb, det_scores, det_labels = \

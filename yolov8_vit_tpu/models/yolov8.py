@@ -129,6 +129,46 @@ class SPPF(nn.Module):
         return ConvBlock(self.out, 1, fused=self.fused, name="cv2")(y, train)
 
 
+class _ConvParams(nn.Module):
+    """Declares {kernel, bias} under a child scope named like nn.Conv's, so
+    alternate compute paths keep checkpoint-identical pytrees."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+class S2DStem(nn.Module):
+    """First stem conv over space-to-depth cells (ops.letterbox.letterbox_s2d).
+
+    Bit-identical to ConvBlock(out, 3, 2) on the equivalent image: the
+    stride-2 3x3 conv becomes 4 stride-1 cell shifts concatenated into a
+    48-dim feature and one matmul — tiny-channel stride-2 convs are the
+    detector's hottest spot on TPU (SURVEY of round-1 perf in
+    docs/performance.md).  Param layout matches ConvBlock ("conv/kernel"
+    (3,3,C,out) + bias), so converted checkpoints load unchanged.
+    """
+    out: int
+
+    @nn.compact
+    def __call__(self, cells, train: bool = False):
+        c = cells.shape[-1] // 4
+        kernel, bias = _ConvParams((3, 3, c, self.out), name="conv")()
+        k4 = jnp.zeros((4, 4, c, self.out), kernel.dtype).at[:3, :3].set(kernel)
+        w = k4.reshape(2, 2, 2, 2, c, self.out).transpose(0, 2, 1, 3, 4, 5)
+        w = w.reshape(16 * c, self.out).astype(cells.dtype)
+        s = cells.shape[-3] - 1          # output spatial size
+        views = [cells[..., a:a + s, b:b + s, :]
+                 for a in range(2) for b in range(2)]
+        xcat = jnp.concatenate(views, axis=-1)            # (..., s, s, 16c)
+        y = jnp.einsum("...k,ko->...o", xcat, w,
+                       preferred_element_type=jnp.float32) + bias
+        return nn.silu(y).astype(cells.dtype)
+
+
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest 2x upsample (PAN neck top-down path)."""
     b, h, w, c = x.shape
@@ -169,6 +209,9 @@ class YOLOv8(nn.Module):
     """
     spec: YOLOv8Spec
     fused: bool = True
+    # stem_s2d: input is letterbox_s2d cells (B, S/2+1, S/2+1, 4C) instead of
+    # the image; b0 computes via S2DStem (same params, bit-identical, faster)
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -180,7 +223,11 @@ class YOLOv8(nn.Module):
         def c2f(c, n, sc, name):
             return C2f(_ch(c, s), _n(n, s), sc, fused=fused, name=name)
 
-        x = conv(64, 3, 2, "b0")(img, train)                 # P1
+        if self.stem_s2d:
+            assert fused, "s2d stem is an inference-path (fused) feature"
+            x = S2DStem(_ch(64, s), name="b0")(img, train)   # P1
+        else:
+            x = conv(64, 3, 2, "b0")(img, train)             # P1
         x = conv(128, 3, 2, "b1")(x, train)                  # P2
         x = c2f(128, 3, True, "b2")(x, train)
         x = conv(256, 3, 2, "b3")(x, train)                  # P3

@@ -57,6 +57,61 @@ def letterbox(img: jnp.ndarray, out_hw: tuple[int, int],
     return padded, r, (dw, dh)
 
 
+def letterbox_s2d(img: jnp.ndarray, out_hw: tuple[int, int],
+                  pad_value: int = 114, dtype=jnp.bfloat16):
+    """Letterbox emitting space-to-depth 2x2 cells over the pad-1 canvas.
+
+    Returns (cells (B, out/2+1, out/2+1, 4*C), ratio, dwdh) where
+    cells[b, i, j, (p, q, c)] == padded-canvas[b, 2i+p, 2j+q, c] and the
+    canvas is the `letterbox` output with an extra 1-pixel border of
+    `pad_value` (the detector stem's own conv padding, pre-applied).
+
+    The s2d layout costs NOTHING here: the interpolation einsum simply
+    emits its output with the (row-phase, col-phase) indices placed last —
+    a standalone relayout of the same tensor measured 7x slower.  Feeding
+    models.yolov8.S2DStem, this makes the stem's stride-2 convs stride-1
+    in cell space (bit-identical; ~1 ms faster at 640² batch 8).
+    """
+    import numpy as np
+    out_h, out_w = out_hw
+    assert out_h % 2 == 0 and out_w % 2 == 0
+    h, w = img.shape[-3], img.shape[-2]
+    new_h, new_w, r, dw, dh, top, left = letterbox_params((h, w), out_hw)
+
+    from yolov8_vit_tpu.ops.resize import interp_matrix
+
+    def canvas_matrix(out, new, src, off):
+        m = np.zeros((out + 2, src), np.float32)
+        rw = interp_matrix(new, src) if new != src else np.eye(src,
+                                                               dtype=np.float32)
+        m[1 + off:1 + off + new] = rw
+        valid = (m.sum(1) > 1e-6).astype(np.float32)
+        return (jnp.asarray(m.reshape((out + 2) // 2, 2, src), dtype),
+                jnp.asarray(valid.reshape((out + 2) // 2, 2)))
+
+    m2, vh = canvas_matrix(out_h, new_h, h, top)
+    n2, vw = canvas_matrix(out_w, new_w, w, left)
+
+    x = img.astype(dtype)
+    if x.ndim == 3:
+        x = x[None]
+        squeeze = True
+    else:
+        squeeze = False
+    t = jnp.einsum("iph,bhwc->bipwc", m2, x,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    y = jnp.einsum("jqw,bipwc->bijpqc", n2, t,
+                   preferred_element_type=jnp.float32)
+    validity = vh[:, None, :, None] * vw[None, :, None, :]
+    y = y + (1.0 - validity)[None, ..., None] * float(pad_value)
+    b = x.shape[0]
+    cells = y.reshape(b, (out_h + 2) // 2, (out_w + 2) // 2,
+                      4 * img.shape[-1]).astype(dtype)
+    if squeeze:
+        cells = cells[0]
+    return cells, r, (dw, dh)
+
+
 def letterbox_fast(img: jnp.ndarray, out_hw: tuple[int, int],
                    pad_value: int = 114, dtype=jnp.bfloat16):
     """MXU-matmul letterbox for fused pipelines (see resize_bilinear_mm for
