@@ -15,17 +15,34 @@ TINY = YOLOv8Spec(0.33, 0.125, 1024, num_classes=5)
 
 
 def test_letterbox_s2d_matches_letterbox():
+    """Cells == letterbox canvas (114 bands inside) + ZERO conv ring."""
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 256, (2, 48, 80, 3), dtype=np.uint8))
     cells, r, dwdh = letterbox_s2d(img, (64, 64), dtype=jnp.float32)
     ref, r2, dwdh2 = letterbox(img.astype(jnp.float32), (64, 64))
     assert r == r2 and dwdh == dwdh2
     padded = np.pad(np.asarray(ref), ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=114.0)
+                    constant_values=0.0)   # the conv's zero ring
     b = 2
     ref_cells = padded.reshape(b, 33, 2, 33, 2, 3).transpose(
         0, 1, 3, 2, 4, 5).reshape(b, 33, 33, 12)
     np.testing.assert_allclose(np.asarray(cells), ref_cells, atol=1e-4)
+
+
+def test_s2d_stem_layer_exact_at_borders():
+    """Direct stem-layer comparison — border rows included.  (The net-level
+    test alone attenuates first-layer border errors through random tiny
+    weights; this one caught the 114-vs-0 ring bug.)"""
+    from yolov8_vit_tpu.models.yolov8 import ConvBlock, S2DStem
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8))
+    std = ConvBlock(8, 3, 2, fused=True)
+    params = std.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    lb, _, _ = letterbox(img.astype(jnp.float32), (64, 64))
+    out_std = np.asarray(std.apply(params, lb / 255.0))
+    cells, _, _ = letterbox_s2d(img, (64, 64), dtype=jnp.float32)
+    out_s2d = np.asarray(S2DStem(8).apply(params, cells / 255.0))
+    np.testing.assert_allclose(out_s2d, out_std, rtol=1e-4, atol=1e-5)
 
 
 def test_s2d_stem_detector_matches_standard():

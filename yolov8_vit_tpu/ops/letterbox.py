@@ -63,8 +63,11 @@ def letterbox_s2d(img: jnp.ndarray, out_hw: tuple[int, int],
 
     Returns (cells (B, out/2+1, out/2+1, 4*C), ratio, dwdh) where
     cells[b, i, j, (p, q, c)] == padded-canvas[b, 2i+p, 2j+q, c] and the
-    canvas is the `letterbox` output with an extra 1-pixel border of
-    `pad_value` (the detector stem's own conv padding, pre-applied).
+    canvas is the `letterbox` output with an extra 1-pixel ZERO border —
+    the stem conv's own zero padding, pre-applied.  (The `pad_value` 114
+    fill applies only to the letterbox bands INSIDE the canvas; conflating
+    the two shifts first-layer border activations, which random-init tests
+    barely notice but trained weights would.)
 
     The s2d layout costs NOTHING here: the interpolation einsum simply
     emits its output with the (row-phase, col-phase) indices placed last —
@@ -85,12 +88,15 @@ def letterbox_s2d(img: jnp.ndarray, out_hw: tuple[int, int],
         rw = interp_matrix(new, src) if new != src else np.eye(src,
                                                                dtype=np.float32)
         m[1 + off:1 + off + new] = rw
-        valid = (m.sum(1) > 1e-6).astype(np.float32)
+        covered = (m.sum(1) > 1e-6).astype(np.float32)
+        in_canvas = np.zeros(out + 2, np.float32)
+        in_canvas[1:out + 1] = 1.0
         return (jnp.asarray(m.reshape((out + 2) // 2, 2, src), dtype),
-                jnp.asarray(valid.reshape((out + 2) // 2, 2)))
+                jnp.asarray(covered.reshape((out + 2) // 2, 2)),
+                jnp.asarray(in_canvas.reshape((out + 2) // 2, 2)))
 
-    m2, vh = canvas_matrix(out_h, new_h, h, top)
-    n2, vw = canvas_matrix(out_w, new_w, w, left)
+    m2, ch_, inh = canvas_matrix(out_h, new_h, h, top)
+    n2, cw_, inw = canvas_matrix(out_w, new_w, w, left)
 
     x = img.astype(dtype)
     if x.ndim == 3:
@@ -102,8 +108,11 @@ def letterbox_s2d(img: jnp.ndarray, out_hw: tuple[int, int],
                    preferred_element_type=jnp.float32).astype(dtype)
     y = jnp.einsum("jqw,bipwc->bijpqc", n2, t,
                    preferred_element_type=jnp.float32)
-    validity = vh[:, None, :, None] * vw[None, :, None, :]
-    y = y + (1.0 - validity)[None, ..., None] * float(pad_value)
+    # fill = pad_value on in-canvas positions not covered by the resized
+    # image (the letterbox bands); the 1-px outer ring stays 0 (conv pad)
+    covered = ch_[:, None, :, None] * cw_[None, :, None, :]
+    canvas = inh[:, None, :, None] * inw[None, :, None, :]
+    y = y + (canvas - covered)[None, ..., None] * float(pad_value)
     b = x.shape[0]
     cells = y.reshape(b, (out_h + 2) // 2, (out_w + 2) // 2,
                       4 * img.shape[-1]).astype(dtype)
