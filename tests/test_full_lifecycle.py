@@ -1,0 +1,171 @@
+"""Full lifecycle on learned weights: train detector + classifier on
+synthetic data -> export engines -> run the fused pipeline -> correct
+detections and classes.
+
+Every other parity test uses random weights (where border/assignment errors
+can attenuate — see test_s2d_stem); this one validates the system the way a
+user experiences it: models that actually learned something, served through
+the production path.
+"""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolov8_vit_tpu.config import DetectConfig
+from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
+from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOv8Spec, flatten_head_outputs
+from yolov8_vit_tpu.runtime.engine import Engine, save_engine
+from yolov8_vit_tpu.train.yolo_loss import yolo_detection_loss
+
+DET_SPEC = YOLOv8Spec(0.33, 0.125, 1024, num_classes=2)
+DET_CFG = DetectConfig(input_size=(64, 64), variant="n", num_classes=2,
+                       nms_pre_topk=84, nms_topk=16)
+VIT = ViTSpec(img_size=32, patch=8, dim=64, depth=2, heads=4,
+              backbone_classes=32)
+
+# class 0 = red cover, class 1 = green cover
+_COLORS = [(230, 60, 50), (60, 220, 70)]
+
+
+def _scene(rng, n_covers=1):
+    img = np.full((64, 64, 3), 110, np.uint8)
+    boxes, labels = [], []
+    for _ in range(n_covers):
+        cls = int(rng.integers(0, 2))
+        x1 = int(rng.integers(4, 30))
+        y1 = int(rng.integers(4, 30))
+        w = int(rng.integers(18, 28))
+        h = int(rng.integers(18, 28))
+        img[y1:y1 + h, x1:x1 + w] = _COLORS[cls]
+        boxes.append([x1, y1, x1 + w, y1 + h])
+        labels.append(cls)
+    return img, np.array(boxes, np.float32), np.array(labels, np.int32)
+
+
+@pytest.mark.slow
+def test_train_export_serve_lifecycle(tmp_path):
+    rng = np.random.default_rng(0)
+
+    # ---- train the tiny detector -------------------------------------
+    det = YOLOv8(DET_SPEC, fused=True)
+    dparams = jax.jit(det.init)(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)))
+    tx = optax.adam(2e-3)
+    opt = tx.init(dparams)
+
+    imgs, gts, gls, gms = [], [], [], []
+    for _ in range(16):
+        img, boxes, labels = _scene(rng)
+        imgs.append(img.astype(np.float32) / 255.0)
+        gb = np.zeros((4, 4), np.float32)
+        gl = np.zeros((4,), np.int32)
+        gm = np.zeros((4,), bool)
+        gb[:len(boxes)] = boxes
+        gl[:len(labels)] = labels
+        gm[:len(boxes)] = True
+        gts.append(gb)
+        gls.append(gl)
+        gms.append(gm)
+    imgs = jnp.asarray(np.stack(imgs))
+    gts = jnp.asarray(np.stack(gts))
+    gls = jnp.asarray(np.stack(gls))
+    gms = jnp.asarray(np.stack(gms))
+
+    @jax.jit
+    def dstep(params, opt):
+        def loss_fn(p):
+            bd, cl = flatten_head_outputs(det.apply(p, imgs))
+            total, _ = yolo_detection_loss(bd, cl, gts, gls, gms, (64, 64))
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    for i in range(300):
+        dparams, opt, dloss = dstep(dparams, opt)
+    assert float(dloss) < 4.0, float(dloss)
+
+    # ---- train the tiny classifier on crops ---------------------------
+    vit = ViTClassifier(VIT, 2)
+    vparams = jax.jit(vit.init)(jax.random.PRNGKey(1),
+                                jnp.zeros((1, 32, 32, 3)))
+    vtx = optax.adam(2e-3)
+    vopt = vtx.init(vparams)
+    crops, clabels = [], []
+    for _ in range(32):
+        cls = int(rng.integers(0, 2))
+        crop = np.full((32, 32, 3), 110, np.uint8)
+        crop[4:28, 4:28] = _COLORS[cls]
+        crops.append(crop.astype(np.float32) / 255.0 * 2 - 1)
+        clabels.append(cls)
+    crops = jnp.asarray(np.stack(crops))
+    onehot = jnp.asarray(np.eye(2, dtype=np.float32)[clabels])
+
+    @jax.jit
+    def vstep(params, opt):
+        def loss_fn(p):
+            logits = vit.apply(p, crops)
+            return optax.softmax_cross_entropy(logits, onehot).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = vtx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    for _ in range(60):
+        vparams, vopt, vloss = vstep(vparams, vopt)
+    assert float(vloss) < 0.2, float(vloss)
+
+    # ---- export engines ------------------------------------------------
+    det_dir = str(tmp_path / "det_eng")
+    cls_dir = str(tmp_path / "cls_eng")
+    cfg_dict = dataclasses.asdict(DET_CFG)
+    cfg_dict["input_size"] = list(cfg_dict["input_size"])
+    cfg_dict["strides"] = list(cfg_dict["strides"])
+    save_engine(det_dir, "detect", dparams,
+                {"detect_cfg": cfg_dict,
+                 "det_spec": {"depth": 0.33, "width": 0.125,
+                              "max_channels": 1024}})
+    save_engine(cls_dir, "classify", vparams,
+                {"vit_spec": dataclasses.asdict(VIT), "num_classes": 2})
+
+    # ---- serve through the fused pipeline with engine params -----------
+    import yolov8_vit_tpu.models.yolov8 as y8
+    orig = y8.YOLOV8_VARIANTS["n"]
+    y8.YOLOV8_VARIANTS["n"] = DET_SPEC
+    pipe = TwoStagePipeline(det_cfg=DET_CFG, vit_spec=VIT, num_classes=2,
+                            classify_budget=4)
+    params = {"det": Engine(det_dir).params, "vit": Engine(cls_dir).params}
+
+    hits = 0
+    trials = 6
+    try:
+        fn = jax.jit(pipe.__call__)
+        for s in range(trials):
+            srng = np.random.default_rng(100 + s)
+            img, boxes, labels = _scene(srng)
+            out = jax.tree.map(np.asarray, fn(params, jnp.asarray(img[None])))
+            valid = np.nonzero(out["final_valid"][0])[0]
+            if len(valid) == 0:
+                continue
+            # best detection must overlap the gt cover + classify correctly
+            k = valid[np.argmax(out["det_scores"][0][valid])]
+            bx = out["boxes"][0][k]
+            gt = boxes[0]
+            ix = max(0, min(bx[2], gt[2]) - max(bx[0], gt[0]))
+            iy = max(0, min(bx[3], gt[3]) - max(bx[1], gt[1]))
+            inter = ix * iy
+            union = ((bx[2] - bx[0]) * (bx[3] - bx[1]) +
+                     (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter)
+            if inter / max(union, 1e-9) > 0.35 and \
+                    int(out["cls_labels"][0][k]) == int(labels[0]):
+                hits += 1
+    finally:
+        y8.YOLOV8_VARIANTS["n"] = orig
+    assert hits >= trials - 2, f"only {hits}/{trials} scenes solved"

@@ -177,24 +177,39 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class DetectHead(nn.Module):
-    """Decoupled anchor-free head: box-DFL branch + cls branch per level."""
+    """Decoupled anchor-free head: box-DFL branch + cls branch per level.
+
+    Output-conv biases use the ultralytics `bias_init` priors (box 1.0;
+    cls log(5/nc/(640/stride)^2)): without them, early training can
+    collapse — all class logits drive negative, sigmoid underflows to
+    exactly 0 in f32, the task-aligned metric (score^0.5 * IoU^6) hits
+    exact 0 for every anchor, the foreground set empties, and the loss
+    degenerates to pushing logits further down (observed).
+    """
     spec: YOLOv8Spec
     in_channels: Sequence[int]
     fused: bool = True
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        import math
         s = self.spec
         c2 = max(16, self.in_channels[0] // 4, s.reg_max * 4)
         c3 = max(self.in_channels[0], min(s.num_classes, 100))
         outs = []
         for i, f in enumerate(feats):
+            stride = s.strides[i]
+            cls_prior = math.log(5.0 / s.num_classes / (640.0 / stride) ** 2)
             b = ConvBlock(c2, 3, fused=self.fused, name=f"box{i}_0")(f, train)
             b = ConvBlock(c2, 3, fused=self.fused, name=f"box{i}_1")(b, train)
-            b = nn.Conv(4 * s.reg_max, (1, 1), name=f"box{i}_2")(b)
+            b = nn.Conv(4 * s.reg_max, (1, 1),
+                        bias_init=nn.initializers.constant(1.0),
+                        name=f"box{i}_2")(b)
             c = ConvBlock(c3, 3, fused=self.fused, name=f"cls{i}_0")(f, train)
             c = ConvBlock(c3, 3, fused=self.fused, name=f"cls{i}_1")(c, train)
-            c = nn.Conv(s.num_classes, (1, 1), name=f"cls{i}_2")(c)
+            c = nn.Conv(s.num_classes, (1, 1),
+                        bias_init=nn.initializers.constant(cls_prior),
+                        name=f"cls{i}_2")(c)
             outs.append((b, c))
         return outs
 

@@ -88,7 +88,10 @@ def task_aligned_assign(pred_scores: jnp.ndarray, pred_boxes: jnp.ndarray,
     in_gt = jnp.minimum(lt.min(-1), rb.min(-1)) > 1e-9        # (G, A)
 
     ious = iou_matrix(gt_boxes, pred_boxes).clip(0)            # (G, A)
-    cls_score = pred_scores[:, gt_labels.clip(0)].T            # (G, A)
+    # floor the class score: sigmoid underflows to exact 0 in f32 for very
+    # negative logits, which would zero the metric for every anchor and
+    # permanently empty the foreground set (training collapse)
+    cls_score = pred_scores[:, gt_labels.clip(0)].T.clip(1e-9)  # (G, A)
     metric = (cls_score ** alpha) * (ious ** beta)
     metric = jnp.where(in_gt & gt_mask[:, None], metric, 0.0)
 
