@@ -71,3 +71,17 @@ def test_yolo_retrain_flow(tmp_path):
     assert eng.kind == "detect"
     out = eng(np.zeros((1, 3, 64, 64), np.float32))
     assert out[1].shape == (1, 16, 4)
+
+
+def test_mosaic_batches(fold):
+    ds = YoloDataset(fold, "train", img_size=64, max_gt=8)
+    if len(ds) < 4:
+        pytest.skip("needs >=4 train items")
+    imgs, boxes, labels, mask = next(ds.batches(2, augment=True, seed=0,
+                                                mosaic=1.0))
+    assert imgs.shape == (2, 64, 64, 3)
+    # mosaics should usually carry multiple gt boxes
+    assert mask.sum() >= 2
+    valid = boxes[mask]
+    assert (valid >= 0).all() and (valid <= 64).all()
+    assert ((valid[:, 2] - valid[:, 0]) > 0).all()

@@ -103,14 +103,54 @@ class YoloDataset:
         return (lb_img.astype(np.float32) / 255.0, pad_boxes, pad_labels,
                 pad_mask)
 
+    def _mosaic(self, idx: int, rng: np.random.Generator):
+        """4-image mosaic (ultralytics' default train-time augmentation,
+        part of what `model.train()` does internally): four letterboxed
+        images tile a 2S canvas, which downscales to S with boxes remapped;
+        degenerate (<2px) boxes drop."""
+        s = self.img_size
+        picks = [idx] + [int(rng.integers(0, len(self.items)))
+                         for _ in range(3)]
+        canvas = np.zeros((2 * s, 2 * s, 3), np.float32)
+        boxes_all, labels_all = [], []
+        for q, i in enumerate(picks):
+            img, bx, lb, mk = self._load(i, True, rng)
+            oy, ox = (q // 2) * s, (q % 2) * s
+            canvas[oy:oy + s, ox:ox + s] = img
+            valid = bx[mk]
+            if len(valid):
+                shifted = valid + np.array([ox, oy, ox, oy], np.float32)
+                boxes_all.append(shifted)
+                labels_all.append(lb[mk])
+        canvas = canvas.reshape(s, 2, s, 2, 3).mean(axis=(1, 3))  # 0.5 scale
+        if boxes_all:
+            boxes = np.concatenate(boxes_all) * 0.5
+            labels = np.concatenate(labels_all)
+            keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & \
+                   ((boxes[:, 3] - boxes[:, 1]) > 2)
+            boxes, labels = boxes[keep], labels[keep]
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+            labels = np.zeros((0,), np.int32)
+        g = min(len(boxes), self.max_gt)
+        pb = np.zeros((self.max_gt, 4), np.float32)
+        pl = np.zeros((self.max_gt,), np.int32)
+        pm = np.zeros((self.max_gt,), bool)
+        pb[:g], pl[:g], pm[:g] = boxes[:g], labels[:g], True
+        return canvas.astype(np.float32), pb, pl, pm
+
     def batches(self, batch_size: int, augment: bool = False,
-                seed: int = 0) -> Iterator[tuple]:
+                seed: int = 0, mosaic: float = 1.0) -> Iterator[tuple]:
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(self.items)) if augment else \
             np.arange(len(self.items))
         for s in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = [self._load(int(i), augment, rng)
-                     for i in order[s:s + batch_size]]
+            chunk = []
+            for i in order[s:s + batch_size]:
+                if augment and rng.random() < mosaic and len(self.items) >= 4:
+                    chunk.append(self._mosaic(int(i), rng))
+                else:
+                    chunk.append(self._load(int(i), augment, rng))
             yield tuple(np.stack([c[j] for c in chunk]) for j in range(4))
 
 
