@@ -282,22 +282,38 @@ class InspectionService:
 def build_default_service(workdir: str = ".",
                           detect_engine_path: str | None = None,
                           classify_engine_path: str | None = None,
-                          enable_retrain: bool = True):
+                          enable_retrain: bool = True,
+                          fused: bool = False):
     """Wire InspectionService to real engines (the reference's module-level
     init at `/root/reference/app.py:20-42`) and the classifier retrain loop
     (`:91-94`: `retrain()` fires when the label counter reaches standard;
-    `yoloRetrain` stays opt-in, as the reference ships it commented out)."""
+    `yoloRetrain` stays opt-in, as the reference ships it commented out).
+
+    fused=False runs the inferdet-parity host path (handles arbitrary
+    mixed image sizes); fused=True routes POST / through the single-graph
+    BatchRunner (resolution-bucketed, the production TPU path)."""
     runner = None
     if detect_engine_path and os.path.isdir(detect_engine_path):
-        from yolov8_vit_tpu.runtime.engine import Engine
-        det = Engine(detect_engine_path)
-        det.set_desired(["num_dets", "bboxes", "scores", "labels"])
-        model_list = []
-        if classify_engine_path and os.path.isdir(classify_engine_path):
-            model_list.append(Engine(classify_engine_path))
+        if fused:
+            from yolov8_vit_tpu.serve.batch_runner import make_runner
+            br = make_runner(detect_engine_path, classify_engine_path)
 
-        def runner(input_dir):
-            return infer_main(det, input_dir, model_list=model_list)
+            def runner(input_dir):
+                paths = sorted(
+                    os.path.join(input_dir, f)
+                    for f in os.listdir(input_dir)
+                    if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+                return br.flatten(paths, br.run_paths(paths))
+        else:
+            from yolov8_vit_tpu.runtime.engine import Engine
+            det = Engine(detect_engine_path)
+            det.set_desired(["num_dets", "bboxes", "scores", "labels"])
+            model_list = []
+            if classify_engine_path and os.path.isdir(classify_engine_path):
+                model_list.append(Engine(classify_engine_path))
+
+            def runner(input_dir):
+                return infer_main(det, input_dir, model_list=model_list)
 
     retrain_fn = None
     if enable_retrain:
@@ -324,10 +340,14 @@ def main_cli(argv=None):
     ap.add_argument("--workdir", default=".")
     ap.add_argument("--detect-engine", default=None)
     ap.add_argument("--classify-engine", default=None)
+    ap.add_argument("--fused", action="store_true",
+                    help="serve POST / through the single-graph fused "
+                         "pipeline (resolution-bucketed BatchRunner)")
     args = ap.parse_args(argv)
     build_default_service(args.workdir, args.detect_engine,
-                          args.classify_engine).serve(host=args.host,
-                                                      port=args.port)
+                          args.classify_engine,
+                          fused=args.fused).serve(host=args.host,
+                                                  port=args.port)
 
 
 if __name__ == "__main__":
