@@ -85,6 +85,32 @@ def _crop_nearest_224(rgb: np.ndarray, box: Sequence[int],
     return crop[sy[:, None], sx[None, :]]
 
 
+def _area_nms_host(boxes: np.ndarray, scores: np.ndarray,
+                   iou_threshold: float = 0.45) -> np.ndarray:
+    """Custom area-sorted NMS, host mirror of ops.nms.area_sorted_nms
+    (`/root/reference/README.md:41-84`).  Returns kept indices (input order
+    preserved)."""
+    if len(boxes) == 0:
+        return np.zeros((0,), np.int64)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    order = np.argsort(-areas, kind="stable")
+    kept = []
+    for i in order:
+        ok = True
+        for j in kept:
+            bi, bj = boxes[i], boxes[j]
+            ix = max(0.0, min(bi[2], bj[2]) - max(bi[0], bj[0]))
+            iy = max(0.0, min(bi[3], bj[3]) - max(bi[1], bj[1]))
+            inter = ix * iy
+            union = areas[i] + areas[j] - inter
+            if inter / max(union, 1e-9) > iou_threshold:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+    return np.sort(np.asarray(kept, np.int64))
+
+
 def _inflate(box, img_w, img_h):
     """Eval-time inflation (`/root/reference/utils/trainClass.py:85-91`)."""
     x1, y1, x2, y2 = (int(v) for v in box)
@@ -138,6 +164,10 @@ def main(Engine, imgs, device=None, model_list: Sequence = (),
 
         keep = scores >= conf_threshold
         bboxes, scores, labels = bboxes[keep], scores[keep], labels[keep]
+
+        # custom area-sorted second NMS (reference README.md:41-84)
+        kept = _area_nms_host(bboxes, scores)
+        bboxes, scores, labels = bboxes[kept], scores[kept], labels[kept]
 
         objects = []
         crops = []
