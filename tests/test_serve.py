@@ -166,3 +166,15 @@ def test_map_page(service):
     svc, base = service
     page = _get(base + "/map?location=beijing").decode()
     assert "markers" in page
+
+
+def test_service_config_concurrent_bumps(tmp_path):
+    """The reference's retrain counter races on config.json
+    (SURVEY.md §5); ours must count exactly under thread contention."""
+    import concurrent.futures
+    from yolov8_vit_tpu.config import ServiceConfig
+    cfg = ServiceConfig(str(tmp_path / "config.json"))
+    cfg.update(standard=1000)
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        list(pool.map(lambda _: cfg.bump_and_check(), range(64)))
+    assert cfg.read()["num"] == 64
