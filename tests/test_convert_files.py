@@ -32,12 +32,16 @@ def test_load_and_convert_pth_file(tmp_path):
 
 
 def test_load_module_checkpoint(tmp_path):
-    """torch.save of the MODULE (not state_dict) also loads."""
+    """torch.save of the MODULE (not state_dict) loads only behind
+    allow_pickle=True (untrusted pickles are refused by default)."""
+    import pytest
     torch.manual_seed(1)
     model = NetworkWrapper(TimmViT(img_size=32, patch=8, dim=64, depth=1,
                                    heads=4, num_classes=16), 5,
                            backbone_classes=16)
     p = str(tmp_path / "full.pth")
     torch.save(model, p)
-    sd = load_torch_state_dict(p)
+    with pytest.raises(ValueError, match="weights_only"):
+        load_torch_state_dict(p)
+    sd = load_torch_state_dict(p, allow_pickle=True)
     assert "fc.1.weight" in sd

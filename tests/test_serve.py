@@ -178,3 +178,42 @@ def test_service_config_concurrent_bumps(tmp_path):
     with concurrent.futures.ThreadPoolExecutor(8) as pool:
         list(pool.map(lambda _: cfg.bump_and_check(), range(64)))
     assert cfg.read()["num"] == 64
+
+
+def test_download_rejects_path_traversal(tmp_path):
+    """A malicious Content-Disposition must not escape save_folder
+    (ADVICE r1: sanitize the final filename)."""
+    import http.server
+    from yolov8_vit_tpu.serve.downloads import download_images
+
+    ok, img = cv2.imencode(".jpg", np.zeros((8, 8, 3), np.uint8))
+    assert ok
+    payload = img.tobytes()
+
+    class EvilHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Disposition",
+                             'attachment; filename="../../evil.jpg"')
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), EvilHandler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    save = tmp_path / "inner" / "input"
+    try:
+        # URL path ends in '/' -> empty basename -> Content-Disposition used
+        path = download_images(f"http://127.0.0.1:{port}/", str(save), 1)
+        assert path, "download failed"
+        resolved = os.path.realpath(path)
+        assert resolved.startswith(os.path.realpath(str(save)) + os.sep)
+        assert os.path.basename(resolved) == "evil.jpg"
+        assert not os.path.exists(tmp_path / "evil.jpg")
+    finally:
+        srv.shutdown()

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--images", default=None)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--allow-pickle", action="store_true",
+                    help="permit full unpickling (ultralytics .pt pickles; "
+                         "trusted sources only)")
     args = ap.parse_args()
 
     if args.selftest or not (args.det and args.vit and args.images):
@@ -54,8 +57,8 @@ def main():
     from PIL import Image
 
     enable_compilation_cache()
-    det_sd = load_torch_state_dict(args.det)
-    vit_sd = load_torch_state_dict(args.vit)
+    det_sd = load_torch_state_dict(args.det, allow_pickle=args.allow_pickle)
+    vit_sd = load_torch_state_dict(args.vit, allow_pickle=args.allow_pickle)
     det_params = convert_yolov8(det_sd)
     vit_params = convert_vit_wrapper(vit_sd)
 

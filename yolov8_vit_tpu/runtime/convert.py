@@ -28,11 +28,26 @@ from typing import Mapping
 import numpy as np
 
 
-def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
-    """Load a .pt/.pth file into {name: float32 ndarray} (needs torch)."""
+def load_torch_state_dict(path: str,
+                          allow_pickle: bool = False) -> dict[str, np.ndarray]:
+    """Load a .pt/.pth file into {name: float32 ndarray} (needs torch).
+
+    Tries the safe `weights_only=True` loader first.  Full unpickling (which
+    executes arbitrary code from the file — e.g. ultralytics .pt checkpoints
+    that pickle whole nn.Modules) requires `allow_pickle=True`, to be set only
+    for trusted sources.
+    """
     import torch  # local import: torch is a conversion-time-only dependency
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not loadable with weights_only=True; pass "
+                "allow_pickle=True only if the checkpoint source is trusted "
+                "(unpickling executes arbitrary code)")
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):

@@ -39,7 +39,8 @@ def export_detect(args) -> str:
         input_size=(args.imgsz, args.imgsz), nms_iou=args.iou_thres,
         nms_conf=args.conf_thres, nms_topk=args.topk)
     if args.weights:
-        params = convert_yolov8(load_torch_state_dict(args.weights))
+        params = convert_yolov8(load_torch_state_dict(
+            args.weights, allow_pickle=args.allow_pickle))
     else:
         spec = dataclasses.replace(YOLOV8_VARIANTS[cfg.variant],
                                    num_classes=cfg.num_classes)
@@ -98,8 +99,10 @@ def export_classify(args) -> str:
 
     spec = ViTSpec(patch=16 if "patch16" in args.model else 8)
     if args.weights:
-        params = convert_vit_wrapper(load_torch_state_dict(args.weights),
-                                     depth=spec.depth)
+        params = convert_vit_wrapper(
+            load_torch_state_dict(args.weights,
+                                  allow_pickle=args.allow_pickle),
+            depth=spec.depth)
     else:
         model = ViTClassifier(spec, args.num_classes)
         params = jax.jit(model.init)(
@@ -144,6 +147,13 @@ def main(argv=None):
     c.add_argument("--quant", action="store_true",
                    help="pre-quantize dense weights to int8 (W8A8 engine)")
     c.set_defaults(fn=export_classify)
+
+    for p in (d, c):
+        p.add_argument("--allow-pickle", action="store_true",
+                       help="permit full unpickling of the checkpoint "
+                            "(required for ultralytics .pt module pickles; "
+                            "executes code from the file — trusted sources "
+                            "only)")
 
     args = ap.parse_args(argv)
     return args.fn(args)

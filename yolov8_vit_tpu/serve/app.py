@@ -27,7 +27,7 @@ from wsgiref.simple_server import make_server, WSGIRequestHandler
 import cv2
 
 from yolov8_vit_tpu.config import ServiceConfig, CLASS_NAMES
-from yolov8_vit_tpu.serve.downloads import download_images
+from yolov8_vit_tpu.serve.downloads import download_images, safe_filename
 from yolov8_vit_tpu.serve.infer import main as infer_main, draw_image
 from yolov8_vit_tpu.serve.oss import make_object_store
 from yolov8_vit_tpu.serve.sse import HUB
@@ -99,7 +99,7 @@ class InspectionService:
         os.makedirs(train_new, exist_ok=True)
         os.makedirs(out_dir, exist_ok=True)
         image = download_images(url, train_new, 0)
-        basename = os.path.basename(url).split("?")[0]
+        basename = safe_filename(os.path.basename(url).split("?")[0])
         if image is False:
             return {"错误": f"download failed: {url}"}
         cv2.imwrite(os.path.join(train_new, basename), image)

@@ -10,6 +10,19 @@ import numpy as np
 import requests
 
 
+def safe_filename(name: str, default_ext: str = ".jpg") -> str:
+    """Reduce an attacker-controllable name to a single safe path component.
+
+    Strips directories (both separators), refuses dot-names, and guarantees
+    an image-writable extension (cv2.imwrite needs one)."""
+    name = os.path.basename(name.replace("\\", "/")).strip()
+    if not name or name in (".", "..") or name.startswith("."):
+        name = f"downloaded_image_{int(time.time())}{default_ext}"
+    if "." not in name:
+        name += default_ext
+    return name
+
+
 def download_images(url: str, save_folder: str, save_flag: bool | int = True):
     """GET url -> decode to BGR ndarray.
 
@@ -40,8 +53,9 @@ def download_images(url: str, save_folder: str, save_flag: bool | int = True):
             fname = re.findall("filename*?=([^;]+)", cd, flags=re.IGNORECASE)
             if fname:
                 image_filename = fname[0].strip("\"' ")
-        if not image_filename:
-            image_filename = f"downloaded_image_{int(time.time())}.jpg"
+    # URL and Content-Disposition are attacker-controlled: keep only the
+    # final path component and refuse anything that could escape save_folder.
+    image_filename = safe_filename(image_filename)
 
     save_path = os.path.join(save_folder, image_filename)
     os.makedirs(save_folder, exist_ok=True)

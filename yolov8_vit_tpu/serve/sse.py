@@ -42,12 +42,20 @@ class LogHub:
                 pass
 
     def stream(self, q: queue.Queue, timeout: float = 15.0) -> Iterator[bytes]:
-        """Yield SSE frames; emits keepalive comments on idle."""
-        while True:
-            try:
-                yield q.get(timeout=timeout).encode()
-            except queue.Empty:
-                yield b": keepalive\n\n"
+        """Yield SSE frames; emits keepalive comments on idle.
+
+        Unsubscribes `q` when the consumer stops iterating (the WSGI server
+        close()s the generator on client disconnect, delivering GeneratorExit
+        here), so disconnected clients don't leak queues in `_subs`.
+        """
+        try:
+            while True:
+                try:
+                    yield q.get(timeout=timeout).encode()
+                except queue.Empty:
+                    yield b": keepalive\n\n"
+        finally:
+            self.unsubscribe(q)
 
 
 HUB = LogHub()

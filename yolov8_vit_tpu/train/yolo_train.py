@@ -140,13 +140,20 @@ class YoloDataset:
         return canvas.astype(np.float32), pb, pl, pm
 
     def batches(self, batch_size: int, augment: bool = False,
-                seed: int = 0, mosaic: float = 1.0) -> Iterator[tuple]:
+                seed: int = 0, mosaic: float = 1.0,
+                drop_last: bool = True) -> Iterator[tuple]:
+        """drop_last=True (training) skips the tail partial batch; eval must
+        pass drop_last=False so metrics cover every image."""
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(self.items)) if augment else \
             np.arange(len(self.items))
-        for s in range(0, len(order) - batch_size + 1, batch_size):
+        stop = len(order) - batch_size + 1 if drop_last else len(order)
+        for s in range(0, max(stop, 0 if drop_last else 1), batch_size):
+            idxs = order[s:s + batch_size]
+            if len(idxs) == 0:
+                break
             chunk = []
-            for i in order[s:s + batch_size]:
+            for i in idxs:
                 if augment and rng.random() < mosaic and len(self.items) >= 4:
                     chunk.append(self._mosaic(int(i), rng))
                 else:
@@ -194,8 +201,8 @@ def validate(model: YOLOv8, params, dataset: YoloDataset,
     (imgsz 640, batch 16, conf .25 — `/root/reference/utils/trainYolo.py:21-26`)."""
     fn = jax.jit(lambda p, x: decode_predictions(model.apply(p, x), cfg))
     preds, gts = [], []
-    for imgs, boxes, labels, mask in dataset.batches(min(batch_size,
-                                                         max(len(dataset), 1))):
+    for imgs, boxes, labels, mask in dataset.batches(
+            min(batch_size, max(len(dataset), 1)), drop_last=False):
         num, bb, sc, lb = jax.tree.map(np.asarray,
                                        fn(params, jnp.asarray(imgs)))
         for i in range(len(imgs)):
