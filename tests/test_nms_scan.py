@@ -1,0 +1,159 @@
+"""Pallas scan-NMS parity vs an independent torch greedy reference.
+
+Closes two round-1 gaps (VERDICT items 4 and 9):
+  * full-candidate EfficientNMS semantics — a dense scene with >1,000
+    above-threshold candidates must match exact greedy over ALL of them
+    (the TRT plugin scans every box above conf,
+    `/root/reference/docs/YOLO_TensorRT_Technical.md:106-135`);
+  * tie-breaking pinned against torch with constructed equal scores and
+    equal areas, batched multi-image.
+"""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from yolov8_vit_tpu.ops.nms import (efficient_nms, efficient_nms_scan,
+                                    area_sorted_nms)
+
+
+def torch_greedy_nms(boxes: torch.Tensor, scores: torch.Tensor,
+                     iou_t: float) -> list[int]:
+    """torchvision.ops.nms semantics: score-descending (stable ties ->
+    ascending index), suppress IoU > threshold, suppressed never suppress."""
+    order = torch.argsort(scores, descending=True, stable=True)
+    keep = []
+    while order.numel():
+        i = int(order[0])
+        keep.append(i)
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        lt = torch.maximum(boxes[i, :2], boxes[rest, :2])
+        rb = torch.minimum(boxes[i, 2:], boxes[rest, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[:, 0] * wh[:, 1]
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = ((boxes[rest, 2] - boxes[rest, 0]) *
+                  (boxes[rest, 3] - boxes[rest, 1]))
+        iou = inter / torch.clamp(area_i + area_r - inter, min=1e-9)
+        order = rest[iou <= iou_t]
+    return keep
+
+
+def torch_efficient_nms(boxes, class_scores, iou_t, score_t, topk):
+    """Full-candidate class-aware EfficientNMS in torch (no truncation)."""
+    b = torch.from_numpy(boxes)
+    s = torch.from_numpy(class_scores)
+    per_score, per_label = s.max(dim=-1)
+    valid = per_score > score_t
+    side = float(b.abs().max()) + 1.0
+    off = per_label.to(b.dtype)[:, None] * side
+    idx = torch.nonzero(valid).flatten()
+    keep = torch_greedy_nms((b + off)[idx], per_score[idx], iou_t)
+    kept = idx[torch.as_tensor(keep, dtype=torch.long)]
+    kept = kept[torch.argsort(per_score[kept], descending=True,
+                              stable=True)][:topk]
+    n = len(kept)
+    out_boxes = np.zeros((topk, 4), np.float32)
+    out_scores = np.zeros((topk,), np.float32)
+    out_labels = np.full((topk,), -1, np.int32)
+    out_boxes[:n] = b[kept].numpy()
+    out_scores[:n] = per_score[kept].numpy()
+    out_labels[:n] = per_label[kept].numpy()
+    return n, out_boxes, out_scores, out_labels
+
+
+def _dense_scene(n, seed, n_above, ties=False):
+    """Clustered boxes with n_above candidates above conf 0.25."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(320, 80, (n, 2))       # heavy overlap
+    wh = rng.uniform(20, 160, (n, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                           -1).astype(np.float32)
+    scores = rng.uniform(0.0, 0.2, (n, 5)).astype(np.float32)
+    hot = rng.choice(n, n_above, replace=False)
+    scores[hot, rng.integers(0, 5, n_above)] = \
+        rng.uniform(0.3, 0.95, n_above).astype(np.float32)
+    if ties:
+        # quantize so many scores/areas collide exactly
+        scores = np.round(scores * 16) / 16
+        boxes = np.round(boxes / 8) * 8
+    return boxes, scores
+
+
+@pytest.mark.parametrize("seed,ties", [(0, False), (1, True), (2, True)])
+def test_scan_dense_full_candidate_parity(seed, ties):
+    """>=1,500 above-threshold candidates: exact greedy over ALL of them."""
+    boxes, scores = _dense_scene(2048, seed, 1500, ties)
+    ref = torch_efficient_nms(boxes, scores, 0.65, 0.25, 100)
+    got = efficient_nms_scan(jnp.asarray(boxes), jnp.asarray(scores))
+    assert int(got[0]) == ref[0]
+    np.testing.assert_array_equal(np.asarray(got[1]), ref[1])
+    np.testing.assert_array_equal(np.asarray(got[2]), ref[2])
+    np.testing.assert_array_equal(np.asarray(got[3]), ref[3])
+
+
+def test_scan_would_catch_pre_topk_truncation():
+    """The dense scene genuinely exercises the >512 regime: more than 512
+    candidates are above threshold, so a top-512 truncation is observable
+    if it ever changes the kept set (sanity check on test power)."""
+    boxes, scores = _dense_scene(2048, 0, 1500)
+    assert int((scores.max(-1) > 0.25).sum()) > 1000
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_scan_matches_masked_when_sparse(seed):
+    """V < pre_topk: the legacy masked path and the scan kernel agree."""
+    boxes, scores = _dense_scene(2048, seed, 300)
+    a = efficient_nms(jnp.asarray(boxes), jnp.asarray(scores))
+    b = efficient_nms_scan(jnp.asarray(boxes), jnp.asarray(scores))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_scan_batched_multi_image_ties():
+    """vmapped batch with constructed exact ties, vs torch per image."""
+    bb, ss = [], []
+    for seed in range(4):
+        b, s = _dense_scene(1024, 10 + seed, 400, ties=True)
+        bb.append(b)
+        ss.append(s)
+    bb, ss = np.stack(bb), np.stack(ss)
+    got = jax.jit(jax.vmap(efficient_nms_scan))(jnp.asarray(bb),
+                                                jnp.asarray(ss))
+    for i in range(4):
+        ref = torch_efficient_nms(bb[i], ss[i], 0.65, 0.25, 100)
+        assert int(got[0][i]) == ref[0]
+        np.testing.assert_array_equal(np.asarray(got[1][i]), ref[1])
+        np.testing.assert_array_equal(np.asarray(got[3][i]), ref[3])
+
+
+@pytest.mark.parametrize("sort_by", ["area", "score"])
+def test_area_sorted_scan_ties_vs_torch(sort_by):
+    """Second-stage NMS with exact area/score ties, both impls vs torch."""
+    rng = np.random.default_rng(7)
+    n = 100
+    centers = rng.normal(150, 40, (n, 2))
+    wh = rng.choice([20, 40, 40, 60], (n, 2)).astype(np.float64)  # area ties
+    boxes = np.round(np.concatenate([centers - wh / 2, centers + wh / 2],
+                                    -1)).astype(np.float32)
+    scores = (np.round(rng.uniform(0, 1, n) * 8) / 8).astype(np.float32)
+    valid = rng.random(n) > 0.2
+
+    v = valid & (scores > 0.35)
+    key = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+           if sort_by == "area" else scores)
+    idx = torch.nonzero(torch.from_numpy(v)).flatten()
+    keep_t = torch_greedy_nms(torch.from_numpy(boxes)[idx],
+                              torch.from_numpy(key.astype(np.float32))[idx],
+                              0.45)
+    ref = np.zeros(n, bool)
+    ref[idx[torch.as_tensor(keep_t, dtype=torch.long)].numpy()] = True
+
+    for impl in ("scan", "argsort"):
+        got = area_sorted_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.asarray(valid), sort_by=sort_by, impl=impl)
+        np.testing.assert_array_equal(np.asarray(got), ref,
+                                      err_msg=f"impl={impl}")

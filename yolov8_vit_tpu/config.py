@@ -79,10 +79,13 @@ class DetectConfig:
     nms_iou: float = 0.65
     nms_conf: float = 0.25
     nms_topk: int = 100
-    # candidate pool fed to the greedy pass (static shape; the reference
-    # plugin scans all anchors — 512 top-score candidates is lossless for
-    # manhole scenes which have <<512 plausible boxes)
+    # candidate pool fed to the legacy masked greedy pass (static shape);
+    # only used when nms_impl="masked"
     nms_pre_topk: int = 512
+    # "scan": Pallas argmax-selection kernel, full-candidate greedy over all
+    #         anchors (exact TRT-plugin semantics, trip count = kept boxes)
+    # "masked": fori_loop suppression over the top nms_pre_topk candidates
+    nms_impl: str = "scan"
     # second-stage filter + custom area-sorted NMS
     conf_second: float = 0.35
     custom_nms_iou: float = 0.45

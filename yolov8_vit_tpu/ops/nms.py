@@ -112,11 +112,185 @@ def efficient_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     return num_dets, out_boxes, out_scores, out_labels
 
 
+def _nms_argmax_kernel(side_ref, x1_ref, y1_ref, x2_ref, y2_ref,
+                       lab_ref, sc_ref, out_ref, nd_ref, scs, *,
+                       iou_threshold: float, score_threshold: float,
+                       max_output: int):
+    """Greedy NMS with in-kernel argmax selection, all candidates in VMEM.
+
+    Instead of pre-sorting 8400 anchors, each iteration picks the highest
+    remaining score (ties broken by lowest anchor index, matching a stable
+    descending sort), emits it into the next output slot, and *removes* every
+    candidate it suppresses from the pool — so the trip count equals the
+    number of boxes kept (<= max_output even in adversarially dense scenes),
+    and every anchor above the score threshold participates in suppression,
+    exactly like the TRT plugin's full-candidate greedy
+    (`/root/reference/docs/YOLO_TensorRT_Technical.md:106-135`).
+
+    Candidate arrays arrive folded to (Kp/128, 128) so VPU ops use all 8
+    sublanes.  Outputs are written score-descending directly into `out_ref`
+    rows (x1, y1, x2, y2, score, label), eliminating the output top_k.
+    """
+    side = side_ref[0, 0]
+    r, l = sc_ref.shape
+    outl = out_ref.shape[-1]
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (r, l), 0) * l +
+            jax.lax.broadcasted_iota(jnp.int32, (r, l), 1))
+    off = lab_ref[...] * side          # per-class coordinate offset (IoU only)
+    x1o = x1_ref[...] + off
+    y1o = y1_ref[...] + off
+    x2o = x2_ref[...] + off
+    y2o = y2_ref[...] + off
+    area = jnp.maximum(x2o - x1o, 0.0) * jnp.maximum(y2o - y1o, 0.0)
+    out_slot = jax.lax.broadcasted_iota(jnp.int32, (1, outl), 1)
+    out_ref[...] = jnp.zeros((8, outl), jnp.float32)
+    out_ref[5:6, :] = jnp.full((1, outl), -1.0, jnp.float32)  # label pad
+    scs[...] = sc_ref[...]
+
+    def cond(c):
+        kept, m = c
+        return (m > score_threshold) & (kept < max_output)
+
+    def body(c):
+        kept, m = c
+        sel = scs[...] == m
+        i_sel = jnp.min(jnp.where(sel, flat, jnp.int32(2 ** 30)))
+        onehot = (flat == i_sel).astype(jnp.float32)
+        cx1 = jnp.sum(x1_ref[...] * onehot)
+        cy1 = jnp.sum(y1_ref[...] * onehot)
+        cx2 = jnp.sum(x2_ref[...] * onehot)
+        cy2 = jnp.sum(y2_ref[...] * onehot)
+        clab = jnp.sum(lab_ref[...] * onehot)
+        coff = clab * side
+        iw = jnp.maximum(jnp.minimum(x2o, cx2 + coff) -
+                         jnp.maximum(x1o, cx1 + coff), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2o, cy2 + coff) -
+                         jnp.maximum(y1o, cy1 + coff), 0.0)
+        inter = iw * ih
+        c_area = jnp.maximum(cx2 - cx1, 0.0) * jnp.maximum(cy2 - cy1, 0.0)
+        iou = inter / jnp.maximum(area + c_area - inter, 1e-9)
+        kill = (iou > iou_threshold) | (flat == i_sel)
+        scs[...] = jnp.where(kill, -1.0, scs[...])
+        slot = out_slot == kept
+        out_ref[0:1, :] = jnp.where(slot, cx1, out_ref[0:1, :])
+        out_ref[1:2, :] = jnp.where(slot, cy1, out_ref[1:2, :])
+        out_ref[2:3, :] = jnp.where(slot, cx2, out_ref[2:3, :])
+        out_ref[3:4, :] = jnp.where(slot, cy2, out_ref[3:4, :])
+        out_ref[4:5, :] = jnp.where(slot, m, out_ref[4:5, :])
+        out_ref[5:6, :] = jnp.where(slot, clab, out_ref[5:6, :])
+        return kept + 1, jnp.max(scs[...])
+
+    kept, _ = jax.lax.while_loop(cond, body,
+                                 (jnp.int32(0), jnp.max(scs[...])))
+    nd_ref[0, 0] = kept
+
+
+def efficient_nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+                       iou_threshold: float = 0.65,
+                       score_threshold: float = 0.25,
+                       max_output: int = 100,
+                       interpret: bool | None = None):
+    """EfficientNMS with FULL-candidate greedy semantics (Pallas kernel).
+
+    Same contract as `efficient_nms`, but every anchor above the score
+    threshold participates in suppression (no pre_topk truncation), and the
+    sequential part runs inside one Pallas program whose trip count is the
+    number of kept boxes (<= max_output) — no 8400-anchor sort, no output
+    top_k, no fixed 512-iteration scan.
+    """
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, _ = scores.shape
+    kp = -(-n // 128) * 128
+    outl = -(-max_output // 128) * 128
+    per_score = jnp.max(scores, axis=-1)
+    per_label = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+    pad = kp - n
+
+    def fold(a, fill=0.0):
+        if pad:
+            a = jnp.pad(a, (0, pad), constant_values=fill)
+        return a.reshape(kp // 128, 128).astype(jnp.float32)
+
+    side = (jnp.max(jnp.abs(boxes)) + 1.0).reshape(1, 1)
+    out, nd = pl.pallas_call(
+        functools.partial(_nms_argmax_kernel, iou_threshold=iou_threshold,
+                          score_threshold=score_threshold,
+                          max_output=max_output),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((8, outl), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((kp // 128, 128), jnp.float32)],
+        interpret=interpret,
+    )(side, fold(boxes[:, 0]), fold(boxes[:, 1]), fold(boxes[:, 2]),
+      fold(boxes[:, 3]), fold(per_label), fold(per_score, fill=-1.0))
+
+    num_dets = nd[0, 0]
+    picked = jnp.arange(max_output) < num_dets
+    out_boxes = out[0:4, :max_output].T
+    out_scores = out[4, :max_output]
+    out_labels = jnp.where(picked, out[5, :max_output].astype(jnp.int32), -1)
+    return num_dets, out_boxes, out_scores, out_labels
+
+
+_KILLED = -1e9
+
+
+def _mask_scan_kernel(x1_ref, y1_ref, x2_ref, y2_ref, pri_ref,
+                      keep_ref, pris, *, iou_threshold: float):
+    """Greedy class-agnostic NMS emitting a keep MASK over input rows.
+
+    Argmax-selection variant of `_nms_argmax_kernel` for the second-stage
+    pass: priorities of invalid rows arrive as `_KILLED`; each iteration
+    keeps the highest-priority live row (ties -> lowest index, pinning the
+    stable-sort order) and kills everything it overlaps.
+    """
+    r, l = pri_ref.shape
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (r, l), 0) * l +
+            jax.lax.broadcasted_iota(jnp.int32, (r, l), 1))
+    x1, y1, x2, y2 = x1_ref[...], y1_ref[...], x2_ref[...], y2_ref[...]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    keep_ref[...] = jnp.zeros((r, l), jnp.float32)
+    pris[...] = pri_ref[...]
+
+    def cond(m):
+        return m > _KILLED / 2
+
+    def body(m):
+        sel = pris[...] == m
+        i_sel = jnp.min(jnp.where(sel, flat, jnp.int32(2 ** 30)))
+        onehot = (flat == i_sel).astype(jnp.float32)
+        cx1 = jnp.sum(x1 * onehot)
+        cy1 = jnp.sum(y1 * onehot)
+        cx2 = jnp.sum(x2 * onehot)
+        cy2 = jnp.sum(y2 * onehot)
+        c_area = jnp.maximum(cx2 - cx1, 0.0) * jnp.maximum(cy2 - cy1, 0.0)
+        iw = jnp.maximum(jnp.minimum(x2, cx2) - jnp.maximum(x1, cx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, cy2) - jnp.maximum(y1, cy1), 0.0)
+        inter = iw * ih
+        iou = inter / jnp.maximum(area + c_area - inter, 1e-9)
+        kill = (iou > iou_threshold) | (flat == i_sel)
+        pris[...] = jnp.where(kill, _KILLED, pris[...])
+        keep_ref[...] = keep_ref[...] + onehot
+        return jnp.max(pris[...])
+
+    jax.lax.while_loop(cond, body, jnp.max(pris[...]))
+
+
 def area_sorted_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                     valid: jnp.ndarray, *,
                     iou_threshold: float = 0.45,
                     score_threshold: float = 0.35,
-                    sort_by: str = "area"):
+                    sort_by: str = "area",
+                    impl: str = "scan",
+                    interpret: bool | None = None):
     """The reference's custom second-stage NMS, fully on device.
 
     Filters conf > theta_c (default .35), orders remaining boxes by area
@@ -125,9 +299,43 @@ def area_sorted_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     IoU .45, class-agnostic.  Operates in-place on the padded topk slots:
     returns a keep mask aligned with the input rows (original row order is
     preserved for downstream crop indexing).
+
+    impl="scan" (default) runs the Pallas argmax-selection kernel with a
+    trip count equal to the kept-box count; "argsort" is the sort +
+    fori_loop formulation (identical results, pinned by tests).
     """
     valid = valid & (scores > score_threshold)
     key = box_area(boxes) if sort_by == "area" else scores
+
+    if impl == "scan":
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        n = boxes.shape[0]
+        kp = -(-n // 128) * 128
+        pad = kp - n
+
+        def fold(a, fill=0.0):
+            if pad:
+                a = jnp.pad(a, (0, pad), constant_values=fill)
+            return a.reshape(kp // 128, 128).astype(jnp.float32)
+
+        pri = jnp.where(valid, key.astype(jnp.float32), _KILLED)
+        keep = pl.pallas_call(
+            functools.partial(_mask_scan_kernel,
+                              iou_threshold=iou_threshold),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((kp // 128, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((kp // 128, 128), jnp.float32)],
+            interpret=interpret,
+        )(fold(boxes[:, 0]), fold(boxes[:, 1]), fold(boxes[:, 2]),
+          fold(boxes[:, 3]), fold(pri, fill=_KILLED))
+        return keep.reshape(-1)[:n] > 0.5
+
     order = jnp.argsort(jnp.where(valid, key, -jnp.inf), descending=True)
     iou = box_iou(boxes[order], boxes[order])
     keep_sorted = _greedy_suppress(iou, valid[order], iou_threshold)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from yolov8_vit_tpu.config import DetectConfig
 from yolov8_vit_tpu.models.yolov8 import flatten_head_outputs
 from yolov8_vit_tpu.ops import dfl_decode, make_anchors, efficient_nms
+from yolov8_vit_tpu.ops.nms import efficient_nms_scan
 
 
 def decode_predictions(head_outputs, cfg: DetectConfig):
@@ -27,9 +28,15 @@ def decode_predictions(head_outputs, cfg: DetectConfig):
     boxes = dfl_decode(box_dist, anchors, stride, cfg.reg_max)
     scores = jax.nn.sigmoid(cls_logits)
 
-    def one(b, s):
-        return efficient_nms(
-            b, s, iou_threshold=cfg.nms_iou, score_threshold=cfg.nms_conf,
-            max_output=cfg.nms_topk, pre_topk=cfg.nms_pre_topk)
+    if cfg.nms_impl == "scan":
+        def one(b, s):
+            return efficient_nms_scan(
+                b, s, iou_threshold=cfg.nms_iou,
+                score_threshold=cfg.nms_conf, max_output=cfg.nms_topk)
+    else:
+        def one(b, s):
+            return efficient_nms(
+                b, s, iou_threshold=cfg.nms_iou, score_threshold=cfg.nms_conf,
+                max_output=cfg.nms_topk, pre_topk=cfg.nms_pre_topk)
 
     return jax.vmap(one)(boxes, scores)
