@@ -113,7 +113,8 @@ def main() -> None:
         det_cfg = DetectConfig(
             variant="s" if args.mode in ("two_stage", "serve") else "n")
         vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16,
-                           quant="w8" if args.quant else "none")
+                           quant="w8" if args.quant else "none",
+                           attn_impl="fused")
         batch, iters = args.batch, args.iters
         img_hw = (640, 640)
         dtype = jnp.bfloat16

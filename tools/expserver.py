@@ -50,7 +50,9 @@ def main():
         path = os.path.join(INBOX, name)
         with open(path) as f:
             src = f.read()
-        os.remove(path)
+        done = os.path.join(OUTBOX, "..", "done")
+        os.makedirs(done, exist_ok=True)
+        os.replace(path, os.path.join(done, name))
         buf = io.StringIO()
         real = sys.stdout
         sys.stdout = buf

