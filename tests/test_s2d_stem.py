@@ -72,9 +72,9 @@ def test_pipeline_s2d_matches_standard():
     vit = ViTSpec(img_size=32, patch=8, dim=64, depth=1, heads=4,
                   backbone_classes=16)
     p_std = TwoStagePipeline(det_cfg=cfg, vit_spec=vit, classify_budget=2,
-                             stem_s2d=False)
+                             stem_mode="flat")
     p_s2d = TwoStagePipeline(det_cfg=cfg, vit_spec=vit, classify_budget=2,
-                             stem_s2d=True)
+                             stem_mode="s2d")
     params = jax.jit(p_std.init_params)(jax.random.PRNGKey(0))
     imgs = jnp.asarray(np.random.default_rng(2).integers(
         0, 256, (2, 48, 80, 3), dtype=np.uint8))

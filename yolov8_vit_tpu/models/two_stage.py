@@ -52,8 +52,15 @@ class TwoStagePipeline:
     num_classes: int = 5
     classify_budget: int = 4          # avg crops classified per image
     dtype: Any = jnp.float32          # activation dtype for both models
-    stem_s2d: bool = True             # letterbox emits s2d cells (bit-exact,
-                                      # faster stem; see ops/letterbox.py)
+    # letterbox emits s2d cells (bit-exact, faster stem; ops/letterbox.py):
+    # "s2d" = 2x2 cells feeding the matmul stem, "flat" = plain letterbox.
+    # (A 4x4-cell variant chaining b0+b1 as embedded-kernel matmuls measured
+    # WORSE end-to-end — docs/performance.md round-2 notes.)
+    stem_mode: str = "s2d"
+
+    @property
+    def stem_s2d(self) -> bool:       # backward-compat alias
+        return self.stem_mode != "flat"
 
     @property
     def detector(self) -> YOLOv8:
@@ -61,7 +68,7 @@ class TwoStagePipeline:
                                    num_classes=self.det_cfg.num_classes,
                                    reg_max=self.det_cfg.reg_max,
                                    strides=self.det_cfg.strides)
-        return YOLOv8(spec, fused=True, stem_s2d=self.stem_s2d)
+        return YOLOv8(spec, fused=True, stem_s2d=self.stem_mode == "s2d")
 
     @property
     def classifier(self) -> ViTClassifier:
@@ -71,9 +78,10 @@ class TwoStagePipeline:
         """Random-init both param trees (for tests/benchmarks)."""
         r1, r2 = jax.random.split(rng)
         h, w = self.det_cfg.input_size
-        det_in = (jnp.zeros((1, h // 2 + 1, w // 2 + 1, 12), self.dtype)
-                  if self.stem_s2d else
-                  jnp.zeros((1, h, w, 3), self.dtype))
+        if self.stem_mode == "s2d":
+            det_in = jnp.zeros((1, h // 2 + 1, w // 2 + 1, 12), self.dtype)
+        else:
+            det_in = jnp.zeros((1, h, w, 3), self.dtype)
         det = self.detector.init(r1, det_in)
         vs = self.vit_spec
         vit = self.classifier.init(
@@ -98,7 +106,7 @@ class TwoStagePipeline:
         t = cfg.nms_topk
 
         # ---- stage 1: detect --------------------------------------------
-        if self.stem_s2d:
+        if self.stem_mode == "s2d":
             from yolov8_vit_tpu.ops.letterbox import letterbox_s2d
             lb, ratio, dwdh = letterbox_s2d(images, cfg.input_size,
                                             pad_value=cfg.pad_value,

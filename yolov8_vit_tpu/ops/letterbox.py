@@ -141,3 +141,4 @@ def letterbox_fast(img: jnp.ndarray, out_hw: tuple[int, int],
     padded = jnp.pad(resized, pad_cfg,
                      constant_values=jnp.asarray(pad_value, dtype))
     return padded, r, (dw, dh)
+
