@@ -17,6 +17,7 @@
 // Build: make -C csrc mt_infer  (needs the pjrt_c_api.h include; see Makefile)
 
 #include <dlfcn.h>
+#include <unistd.h>
 
 #include <cstdint>
 #include <cstdio>
@@ -64,7 +65,17 @@ struct Args {
   std::string dump_prefix;
   int imgsz = 640;
   bool list_devices = false;
+  // client create options as key=value (int if all-digits, else string);
+  // e.g. the axon tunnel plugin requires topology/session_id/... NamedValues
+  std::vector<std::string> options;
 };
+
+bool IsInt(const std::string& s) {
+  if (s.empty()) return false;
+  for (char c : s)
+    if (!isdigit(c)) return false;
+  return true;
+}
 
 }  // namespace
 
@@ -80,6 +91,30 @@ int main(int argc, char** argv) {
     else if (a == "--imgsz") args.imgsz = atoi(next().c_str());
     else if (a == "--dump-prefix") args.dump_prefix = next();
     else if (a == "--list-devices") args.list_devices = true;
+    else if (a == "--option") args.options.push_back(next());
+    else if (a == "--axon") {
+      // the tunnel plugin's required NamedValues (mirrors what
+      // axon.register passes from python; session_id from /proc urandom)
+      char sid[64];
+      FILE* ur = fopen("/proc/sys/kernel/random/uuid", "r");
+      if (ur && fgets(sid, sizeof(sid), ur)) {
+        sid[strcspn(sid, "\n")] = 0;
+        fclose(ur);
+      } else {
+        snprintf(sid, sizeof(sid), "mtinfer-%d", (int)getpid());
+      }
+      const char* rc = getenv("PALLAS_AXON_REMOTE_COMPILE");
+      args.options.push_back(std::string("remote_compile=") +
+                             ((rc && rc[0] == '1') ? "1" : "0"));
+      args.options.push_back("local_only=0");
+      args.options.push_back("priority=0");
+      const char* gen = getenv("PALLAS_AXON_TPU_GEN");
+      args.options.push_back(std::string("topology=") +
+                             (gen ? gen : "v5e") + ":1x1x1");
+      args.options.push_back("n_slices=1");
+      args.options.push_back(std::string("session_id=") + sid);
+      args.options.push_back("rank=4294967295");
+    }
     else { fprintf(stderr, "unknown arg %s\n", a.c_str()); return 2; }
   }
   if (args.plugin.empty()) {
@@ -110,9 +145,43 @@ int main(int argc, char** argv) {
     CHECK_PJRT(api, api->PJRT_Plugin_Initialize(&init));
   }
 
+  std::vector<PJRT_NamedValue> nvs;
+  std::vector<std::string> keys, svals;   // stable storage for pointers
+  std::vector<int64_t> ivals;
+  keys.reserve(args.options.size());
+  svals.reserve(args.options.size());
+  ivals.reserve(args.options.size());
+  for (const std::string& kv : args.options) {
+    size_t eq = kv.find('=');
+    if (eq == std::string::npos) {
+      fprintf(stderr, "bad --option %s (want key=value)\n", kv.c_str());
+      return 2;
+    }
+    keys.push_back(kv.substr(0, eq));
+    std::string val = kv.substr(eq + 1);
+    PJRT_NamedValue nv;
+    memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = keys.back().c_str();
+    nv.name_size = keys.back().size();
+    if (IsInt(val)) {
+      ivals.push_back(strtoll(val.c_str(), nullptr, 10));
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = ivals.back();
+    } else {
+      svals.push_back(val);
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = svals.back().c_str();
+      nv.value_size = svals.back().size();
+    }
+    nvs.push_back(nv);
+  }
+
   PJRT_Client_Create_Args cc;
   memset(&cc, 0, sizeof(cc));
   cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cc.create_options = nvs.empty() ? nullptr : nvs.data();
+  cc.num_options = nvs.size();
   CHECK_PJRT(api, api->PJRT_Client_Create(&cc));
   PJRT_Client* client = cc.client;
 
@@ -180,6 +249,11 @@ int main(int argc, char** argv) {
     for (size_t i = 0; i < lb.size(); ++i) blob[i] = lb[i] / 255.f;
     printf("letterbox ratio=%.4f dw=%.1f dh=%.1f\n", info.ratio, info.dw,
            info.dh);
+    if (!args.dump_prefix.empty()) {
+      std::ofstream out(args.dump_prefix + "_input.bin", std::ios::binary);
+      out.write(reinterpret_cast<const char*>(blob.data()),
+                blob.size() * sizeof(float));
+    }
   }
 
   const int64_t dims[4] = {1, S, S, 3};  // NHWC, matching the exported graph
@@ -257,10 +331,30 @@ int main(int argc, char** argv) {
 
   // ---- fetch outputs -------------------------------------------------------
   for (size_t o = 0; o < num_outputs; ++o) {
+    // request ROW-MAJOR host layout explicitly: without it the copy uses
+    // the buffer's on-device layout, and outputs whose producing op ends
+    // in a transpose arrive with a permuted minor_to_major (observed: the
+    // (topk, 4) box tensor coming back column-major)
+    PJRT_Buffer_Dimensions_Args bd;
+    memset(&bd, 0, sizeof(bd));
+    bd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    bd.buffer = out_buf[o];
+    CHECK_PJRT(api, api->PJRT_Buffer_Dimensions(&bd));
+    std::vector<int64_t> m2m(bd.num_dims);
+    for (size_t d = 0; d < bd.num_dims; ++d)
+      m2m[d] = (int64_t)(bd.num_dims - 1 - d);
+    PJRT_Buffer_MemoryLayout layout;
+    memset(&layout, 0, sizeof(layout));
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.minor_to_major = m2m.data();
+    layout.tiled.minor_to_major_size = m2m.size();
+
     PJRT_Buffer_ToHostBuffer_Args th;
     memset(&th, 0, sizeof(th));
     th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     th.src = out_buf[o];
+    th.host_layout = &layout;
     CHECK_PJRT(api, api->PJRT_Buffer_ToHostBuffer(&th));  // size query
     std::vector<uint8_t> host(th.dst_size);
     th.dst = host.data();

@@ -59,16 +59,39 @@ def export_detect(args) -> str:
     return path
 
 
-def export_stablehlo_detect(params, cfg, out_prefix: str) -> None:
+def _write_stablehlo(fn, in_specs, out_prefix: str,
+                     platforms=("tpu",), matmul_precision=None) -> None:
+    """matmul_precision: None keeps the platform default (fast TPU f32 via
+    bf16 passes); "highest" forces true-f32 accumulation — used by the
+    cross-platform parity test so CPU and TPU agree to ~1e-6."""
+    import contextlib
+    import jax
+    from jaxlib import xla_client
+
+    ctx = (jax.default_matmul_precision(matmul_precision)
+           if matmul_precision else contextlib.nullcontext())
+    with ctx:
+        exp = jax.export.export(jax.jit(fn),
+                                platforms=list(platforms))(*in_specs)
+    with open(out_prefix + ".mlir", "w") as f:
+        f.write(exp.mlir_module())
+    with open(out_prefix + ".opts.pb", "wb") as f:
+        f.write(xla_client.CompileOptions().SerializeAsString())
+    print(f"stablehlo module -> {out_prefix}.mlir / {out_prefix}.opts.pb")
+
+
+def export_stablehlo_detect(params, cfg, out_prefix: str,
+                            platforms=("tpu",),
+                            matmul_precision=None) -> None:
     """Emit <prefix>.mlir + <prefix>.opts.pb for the C++ PJRT driver
     (csrc/pjrt_driver.cc).  The exported graph takes an NHWC float blob in
     [0,1] and returns (num_dets, bboxes, scores, labels) with weights baked
     in as constants — the full 'engine' in one artifact, like the
-    reference's serialized TensorRT plan."""
+    reference's serialized TensorRT plan.  Lowered for TPU regardless of
+    the exporting process's platform (cross-platform jax.export)."""
     import dataclasses as _dc
     import jax
     import jax.numpy as jnp
-    from jaxlib import xla_client
     from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
     from yolov8_vit_tpu.runtime.detector import decode_predictions
 
@@ -80,13 +103,54 @@ def export_stablehlo_detect(params, cfg, out_prefix: str) -> None:
         return decode_predictions(model.apply(params, x), cfg)
 
     h, w = cfg.input_size
-    exp = jax.export.export(jax.jit(forward))(
-        jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32))
-    with open(out_prefix + ".mlir", "w") as f:
-        f.write(exp.mlir_module())
-    with open(out_prefix + ".opts.pb", "wb") as f:
-        f.write(xla_client.CompileOptions().SerializeAsString())
-    print(f"stablehlo module -> {out_prefix}.mlir / {out_prefix}.opts.pb")
+    _write_stablehlo(forward,
+                     [jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)],
+                     out_prefix, platforms, matmul_precision)
+
+
+def export_stablehlo_classify(params, spec, num_classes: int,
+                              out_prefix: str, batch: int = 1,
+                              platforms=("tpu",)) -> None:
+    """Classifier engine for the native driver: NHWC float crop in [-1, 1]
+    (the reference's mean/std .5 normalization, `/root/reference/app.py:39-42`)
+    -> (num_classes,) logits."""
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.models.vit import ViTClassifier
+
+    model = ViTClassifier(spec, num_classes)
+
+    def forward(x):
+        return model.apply(params, x)
+
+    s = spec.img_size
+    _write_stablehlo(forward,
+                     [jax.ShapeDtypeStruct((batch, s, s, 3), jnp.float32)],
+                     out_prefix, platforms)
+
+
+def export_stablehlo_two_stage(pipe, params, out_prefix: str,
+                               batch: int = 1, image_hw=(640, 640),
+                               platforms=("tpu",)) -> None:
+    """The FULL fused two-stage graph (letterbox -> detect -> NMS -> crop ->
+    classify) as one artifact: uint8 RGB images in, the 7-field detection
+    dict out (flattened to a tuple in field order).  This is the native
+    analogue of the reference's complete decode->infer loop
+    (`/root/reference/docs/YOLO_TensorRT_Technical.md:232-286`)."""
+    import jax
+    import jax.numpy as jnp
+
+    keys = ("num_dets", "boxes", "det_scores", "det_labels", "final_valid",
+            "cls_labels", "cls_scores")
+
+    def forward(images):
+        out = pipe(params, images)
+        return tuple(out[k] for k in keys)
+
+    h, w = image_hw
+    _write_stablehlo(forward,
+                     [jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)],
+                     out_prefix, platforms)
 
 
 def export_classify(args) -> str:
@@ -116,6 +180,9 @@ def export_classify(args) -> str:
             "num_classes": args.num_classes, "model_name": args.model}
     path = save_engine(args.out, "classify", params, meta)
     print(f"classify engine written to {path}")
+    if args.stablehlo:
+        export_stablehlo_classify(params, spec, args.num_classes,
+                                  args.stablehlo)
     return path
 
 
@@ -146,6 +213,9 @@ def main(argv=None):
     c.add_argument("--num-classes", type=int, default=5)
     c.add_argument("--quant", action="store_true",
                    help="pre-quantize dense weights to int8 (W8A8 engine)")
+    c.add_argument("--stablehlo", default=None, metavar="PREFIX",
+                   help="also emit PREFIX.mlir + PREFIX.opts.pb for the "
+                        "C++ PJRT driver")
     c.set_defaults(fn=export_classify)
 
     for p in (d, c):
