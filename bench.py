@@ -72,6 +72,11 @@ def main() -> None:
                     help="fused int8 W8A8 ViT MLP (default on; argmax-"
                          "stable vs f32 in tests, ~1e-2 logit error — the "
                          "int8 analogue of the reference's fp16 engine)")
+    ap.add_argument("--input", choices=["640", "720p"],
+                    default=os.environ.get("BENCH_INPUT", "640"),
+                    help="camera frame size fed to the pipeline: '720p' "
+                         "adds the real 1280x720 -> 640 letterbox resize "
+                         "(production path); '640' is pre-sized input")
     args = ap.parse_args()
 
     if args.smoke:
@@ -116,7 +121,7 @@ def main() -> None:
                            quant="w8" if args.quant else "none",
                            attn_impl="fused")
         batch, iters = args.batch, args.iters
-        img_hw = (640, 640)
+        img_hw = (720, 1280) if args.input == "720p" else (640, 640)
         dtype = jnp.bfloat16
 
     # ---- modes --------------------------------------------------------------
@@ -132,11 +137,36 @@ def main() -> None:
             fn = jax.jit(pipe.__call__)
             dt = _timed(fn, (params, images), iters, barrier)
             v = batch * iters / dt / n_chips
+
+            # per-step latency distribution: one barrier per step.  On the
+            # tunneled runtime every blocking fetch pays the relay
+            # round-trip, so measure that floor with an empty program and
+            # report it alongside (BASELINE metric: p50 per-image latency).
+            lat_iters = min(iters, 30) if not args.smoke else 3
+            rtts = []
+            trivial = jax.jit(lambda: jnp.zeros(()))
+            for _ in range(lat_iters):
+                t0 = time.perf_counter()
+                float(trivial())
+                rtts.append((time.perf_counter() - t0) * 1e3)
+            lats = []
+            for _ in range(lat_iters):
+                t0 = time.perf_counter()
+                barrier(fn(params, images))
+                lats.append((time.perf_counter() - t0) * 1e3)
+            lats.sort()
+            rtts.sort()
+            p50 = lats[len(lats) // 2]
+            p95 = lats[min(int(len(lats) * 0.95), len(lats) - 1)]
+
             _emit("two_stage_images_per_sec_per_chip", v, "images/s/chip",
                   v / 1500.0, batch=batch, iters=iters,
                   classify_budget=args.budget,
-                  step_ms=round(dt / iters * 1e3, 2), vit=vit_tag,
-                  device=device, smoke=args.smoke)
+                  step_ms=round(dt / iters * 1e3, 2),
+                  input=args.input,
+                  p50_ms=round(p50, 2), p95_ms=round(p95, 2),
+                  fetch_rtt_ms=round(rtts[len(rtts) // 2], 2),
+                  vit=vit_tag, device=device, smoke=args.smoke)
             return
 
         # serve: host decode (native lib if built) + bucketed device
@@ -161,17 +191,21 @@ def main() -> None:
         # device this measures mostly the host->device image upload
         # (~10 MB per 640px batch at tens of MB/s), not the framework —
         # on directly-attached TPUs the device step dominates.
+        prof: dict = {}
         t0 = time.perf_counter()
         loops = max(iters // 5, 1)
         for i in range(loops):
-            res = runner.run_paths(paths[i * batch:(i + 1) * batch])
+            res = runner.run_paths(paths[i * batch:(i + 1) * batch],
+                                   profile=prof)
         dt = time.perf_counter() - t0
         assert all(r is not None for r in res)
         v = batch * loops / dt / n_chips
+        prof = {k: round(val / loops, 2) for k, val in prof.items()}
         _emit("serve_stream_images_per_sec_per_chip", v, "images/s/chip",
               v / 1500.0, batch=batch, loops=loops, vit=vit_tag,
-              device=device, smoke=args.smoke,
-              note="end-to-end incl. host JPEG decode + device upload")
+              device=device, smoke=args.smoke, profile_ms=prof,
+              note="end-to-end incl. host JPEG decode + device upload; "
+                   "profile_ms = per-request decode/enqueue/fetch buckets")
         return
 
     if args.mode == "detect":

@@ -85,3 +85,92 @@ def test_mosaic_batches(fold):
     valid = boxes[mask]
     assert (valid >= 0).all() and (valid <= 64).all()
     assert ((valid[:, 2] - valid[:, 0]) > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# train-recipe parity (ultralytics model.train knobs the reference delegates
+# to, /root/reference/utils/trainYolo.py:33): HSV jitter, random affine,
+# warmup + lr decay, multi-scale
+# ---------------------------------------------------------------------------
+
+def test_hsv_jitter_invariants():
+    from yolov8_vit_tpu.train.yolo_train import augment_hsv
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    # identity at zero gains
+    np.testing.assert_array_equal(augment_hsv(img, rng, 0, 0, 0), img)
+    # shape/dtype preserved, values in range, deterministic per seed
+    a = augment_hsv(img, np.random.default_rng(7))
+    b = augment_hsv(img, np.random.default_rng(7))
+    assert a.shape == img.shape and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, img)        # jitter actually applied
+
+
+def test_random_affine_identity_is_center_crop():
+    """scale=0/translate=0/degrees=0 -> deterministic center crop of the
+    2S canvas with boxes shifted by -S/2 (ultralytics border=-S/2)."""
+    from yolov8_vit_tpu.train.yolo_train import random_affine
+    rng = np.random.default_rng(0)
+    s = 32
+    canvas = np.zeros((2 * s, 2 * s, 3), np.float32)
+    canvas[20:44, 24:52] = 0.8
+    boxes = np.array([[24, 20, 52, 44]], np.float32)
+    labels = np.array([1], np.int32)
+    out, b2, l2 = random_affine(canvas, boxes, labels, rng, s,
+                                degrees=0, translate=0, scale=0)
+    ref = canvas[s // 2:3 * s // 2, s // 2:3 * s // 2]
+    np.testing.assert_allclose(out, ref, atol=1 / 255.0 + 1e-6)
+    np.testing.assert_allclose(
+        b2, np.clip(boxes - s / 2, 0, s), atol=1e-4)
+    assert list(l2) == [1]
+
+
+def test_random_affine_drops_out_of_view_boxes():
+    from yolov8_vit_tpu.train.yolo_train import random_affine
+    rng = np.random.default_rng(1)
+    s = 32
+    canvas = np.zeros((2 * s, 2 * s, 3), np.float32)
+    boxes = np.array([[0, 0, 6, 6],            # far corner: cropped away
+                      [28, 28, 40, 40]], np.float32)  # center: survives
+    labels = np.array([0, 1], np.int32)
+    out, b2, l2 = random_affine(canvas, boxes, labels, rng, s,
+                                degrees=0, translate=0, scale=0)
+    assert list(l2) == [1]
+    assert len(b2) == 1
+
+
+def test_lr_schedule_shapes():
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.train.yolo_train import make_lr_schedule
+    lr0 = 1e-2
+    # reference parity: lrf=1 -> flat after warmup
+    s = make_lr_schedule(lr0, 1.0, total_steps=1000, warmup_steps=100)
+    assert float(s(0)) < 0.02 * lr0 + 1e-12
+    assert abs(float(s(100)) - lr0) < 1e-9
+    assert abs(float(s(900)) - lr0) < 1e-9
+    # linear decay to lr0*lrf
+    s2 = make_lr_schedule(lr0, 0.01, total_steps=1000, warmup_steps=0)
+    assert abs(float(s2(0)) - lr0) < 1e-9
+    assert abs(float(s2(1000)) - lr0 * 0.01) < 1e-9
+    mid = float(s2(500))
+    assert lr0 * 0.4 < mid < lr0 * 0.6
+    # cosine: slower start, same endpoints
+    s3 = make_lr_schedule(lr0, 0.01, total_steps=1000, warmup_steps=0,
+                          cos_lr=True)
+    assert abs(float(s3(0)) - lr0) < 1e-9
+    assert abs(float(s3(1000)) - lr0 * 0.01) < 1e-9
+    assert float(s3(200)) > float(s2(200))
+
+
+def test_full_recipe_finetune_improves_map(fold):
+    """Synthetic fine-tune with the COMPLETE recipe on (hsv + mosaic +
+    affine + warmup + cosine + multi-scale): mAP after training >= before
+    (the easy one-rectangle dataset must be learnable through the heavier
+    augmentation — VERDICT item 8's done-gate)."""
+    params, metrics = train(
+        epochs=2, batch=2, data_root=fold, cfg=TINY_CFG, lr0=2e-3,
+        max_gt=8, log_fn=lambda *a: None, lrf=0.1, cos_lr=True,
+        warmup_epochs=0.5, multi_scale=True)
+    assert "final" in metrics and "preval" in metrics
+    assert metrics["final"]["map50"] >= metrics["preval"]["map50"]

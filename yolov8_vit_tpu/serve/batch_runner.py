@@ -91,18 +91,27 @@ class BatchRunner:
         except OSError:
             return None
 
-    def run_paths(self, paths: Sequence[str]) -> list[dict | None]:
+    def run_paths(self, paths: Sequence[str],
+                  profile: dict | None = None) -> list[dict | None]:
         """Decode + run; returns one result dict per input path (None when
         the image failed to decode), in input order.
 
         Pipelined: images decode on a thread pool, every chunk is ENQUEUED
         to the device before any result is fetched (dispatch is async), and
         the packed single-array results are materialized last — so host
-        decode, device compute, and result transfer all overlap."""
+        decode, device compute, and result transfer all overlap.
+
+        `profile`, when given, accumulates wall-clock buckets (ms):
+        decode_ms (host JPEG/PNG -> RGB), enqueue_ms (host->device upload +
+        dispatch), fetch_ms (device compute + result download, overlapped
+        with nothing left to hide it)."""
+        import time
         from concurrent.futures import ThreadPoolExecutor
 
+        t0 = time.perf_counter()
         with ThreadPoolExecutor(min(8, max(len(paths), 1))) as pool:
             imgs = list(pool.map(self._decode, paths))
+        t1 = time.perf_counter()
         results: list[dict | None] = [None] * len(paths)
         buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
         for i, img in enumerate(imgs):
@@ -115,10 +124,19 @@ class BatchRunner:
                 batch = np.stack([imgs[i] for i in chunk])
                 pending.append((chunk, self._fn(self.params,
                                                 jnp.asarray(batch))))
+        t2 = time.perf_counter()
         for chunk, dev in pending:
             packed = np.asarray(dev)
             for j, rec in enumerate(self._unpack(packed)):
                 results[chunk[j]] = rec
+        t3 = time.perf_counter()
+        if profile is not None:
+            profile["decode_ms"] = profile.get("decode_ms", 0.0) + \
+                (t1 - t0) * 1e3
+            profile["enqueue_ms"] = profile.get("enqueue_ms", 0.0) + \
+                (t2 - t1) * 1e3
+            profile["fetch_ms"] = profile.get("fetch_ms", 0.0) + \
+                (t3 - t2) * 1e3
         return results
 
     # ------------------------------------------------------------------

@@ -36,6 +36,76 @@ from yolov8_vit_tpu.train.yolo_loss import yolo_detection_loss
 
 
 # --------------------------------------------------------------------------
+# augmentations (the `model.train()` recipe the reference delegates to
+# ultralytics for, `/root/reference/utils/trainYolo.py:33`)
+# --------------------------------------------------------------------------
+
+def augment_hsv(img: np.ndarray, rng: np.random.Generator,
+                hgain: float = 0.015, sgain: float = 0.7,
+                vgain: float = 0.4) -> np.ndarray:
+    """Random HSV jitter with the ultralytics default gains, LUT-applied.
+    RGB uint8 in/out; identity when all gains are 0."""
+    import cv2
+    if hgain == sgain == vgain == 0:
+        return img
+    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+    x = np.arange(0, 256, dtype=np.float32)
+    lut_h = ((x * r[0]) % 180).astype(np.uint8)
+    lut_s = np.clip(x * r[1], 0, 255).astype(np.uint8)
+    lut_v = np.clip(x * r[2], 0, 255).astype(np.uint8)
+    hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                     cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def random_affine(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                  rng: np.random.Generator, out_size: int,
+                  degrees: float = 0.0, translate: float = 0.1,
+                  scale: float = 0.5):
+    """Random scale/translate(/rotate) mapping img -> (out_size, out_size).
+
+    The yolov8 train default is degrees=0, translate=.1, scale=.5: sample
+    s in [1-scale, 1+scale] and a shift of +/-translate*out_size, warp the
+    image (border fill 114), transform box corners with the same matrix,
+    clip, and drop degenerate candidates (w/h < 2px or area shrunk < 10%).
+    Returns (img (out,out,3) f32 [0,1]-scaled like _load, boxes, labels).
+    """
+    import cv2
+    h, w = img.shape[:2]
+    s = rng.uniform(1 - scale, 1 + scale)
+    a = np.deg2rad(rng.uniform(-degrees, degrees)) if degrees else 0.0
+    cx, cy = w / 2, h / 2
+    cos, sin = np.cos(a) * s, np.sin(a) * s
+    tx = rng.uniform(0.5 - translate, 0.5 + translate) * out_size
+    ty = rng.uniform(0.5 - translate, 0.5 + translate) * out_size
+    m = np.array([[cos, -sin, tx - cos * cx + sin * cy],
+                  [sin, cos, ty - sin * cx - cos * cy]], np.float32)
+    src = img if img.dtype == np.uint8 else \
+        np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    warped = cv2.warpAffine(src, m, (out_size, out_size),
+                            borderValue=(114, 114, 114))
+    if len(boxes):
+        corners = np.concatenate([
+            boxes[:, [0, 1]], boxes[:, [2, 1]],
+            boxes[:, [0, 3]], boxes[:, [2, 3]]], 0)          # (4n, 2)
+        corners = corners @ m[:, :2].T + m[:, 2]
+        corners = corners.reshape(4, -1, 2)
+        new = np.concatenate([corners.min(0), corners.max(0)],
+                             1).astype(np.float32)           # (n, 4)
+        clipped = new.copy()
+        clipped[:, [0, 2]] = clipped[:, [0, 2]].clip(0, out_size)
+        clipped[:, [1, 3]] = clipped[:, [1, 3]].clip(0, out_size)
+        wh_new = clipped[:, 2:] - clipped[:, :2]
+        area_pre = ((boxes[:, 2] - boxes[:, 0]) *
+                    (boxes[:, 3] - boxes[:, 1])) * s * s
+        keep = (wh_new > 2).all(1) & \
+            (wh_new[:, 0] * wh_new[:, 1] > 0.1 * np.maximum(area_pre, 1e-9))
+        boxes, labels = clipped[keep], labels[keep]
+    return warped.astype(np.float32) / 255.0, boxes, labels
+
+
+# --------------------------------------------------------------------------
 # dataset
 # --------------------------------------------------------------------------
 
@@ -47,6 +117,11 @@ class YoloDataset:
     split: str = "train"
     img_size: int = 640
     max_gt: int = 32
+    # train-time recipe knobs (ultralytics model.train defaults)
+    hsv: tuple = (0.015, 0.7, 0.4)
+    translate: float = 0.1
+    scale: float = 0.5
+    degrees: float = 0.0
 
     def __post_init__(self):
         img_dir = os.path.join(self.root, "images", self.split)
@@ -83,10 +158,8 @@ class YoloDataset:
             img = img[:, ::-1]
             boxes = boxes.copy()
             boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
-        if augment:                                  # HSV-free value jitter
-            img = np.clip(img.astype(np.float32) *
-                          (1 + rng.uniform(-0.2, 0.2)), 0, 255
-                          ).astype(np.uint8)
+        if augment:                                  # HSV color jitter
+            img = augment_hsv(np.ascontiguousarray(img), rng, *self.hsv)
 
         lb_img, ratio, (dw, dh) = _letterbox_host(
             img[..., ::-1], (self.img_size, self.img_size))  # expects BGR
@@ -104,10 +177,11 @@ class YoloDataset:
                 pad_mask)
 
     def _mosaic(self, idx: int, rng: np.random.Generator):
-        """4-image mosaic (ultralytics' default train-time augmentation,
-        part of what `model.train()` does internally): four letterboxed
-        images tile a 2S canvas, which downscales to S with boxes remapped;
-        degenerate (<2px) boxes drop."""
+        """4-image mosaic + random affine (ultralytics' default train-time
+        pipeline, part of what `model.train()` does internally): four
+        letterboxed images tile a 2S canvas, then a random scale/translate
+        affine maps the canvas to S with boxes remapped; degenerate or
+        mostly-cropped boxes drop."""
         s = self.img_size
         picks = [idx] + [int(rng.integers(0, len(self.items)))
                          for _ in range(3)]
@@ -122,16 +196,17 @@ class YoloDataset:
                 shifted = valid + np.array([ox, oy, ox, oy], np.float32)
                 boxes_all.append(shifted)
                 labels_all.append(lb[mk])
-        canvas = canvas.reshape(s, 2, s, 2, 3).mean(axis=(1, 3))  # 0.5 scale
         if boxes_all:
-            boxes = np.concatenate(boxes_all) * 0.5
+            boxes = np.concatenate(boxes_all)
             labels = np.concatenate(labels_all)
-            keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & \
-                   ((boxes[:, 3] - boxes[:, 1]) > 2)
-            boxes, labels = boxes[keep], labels[keep]
         else:
             boxes = np.zeros((0, 4), np.float32)
             labels = np.zeros((0,), np.int32)
+        # scale=1 shows the canvas center 1:1 (an S-crop of the 2S mosaic),
+        # matching ultralytics' random_perspective(border=-S/2) semantics
+        canvas, boxes, labels = random_affine(
+            canvas, boxes, labels, rng, s, degrees=self.degrees,
+            translate=self.translate, scale=self.scale)
         g = min(len(boxes), self.max_gt)
         pb = np.zeros((self.max_gt, 4), np.float32)
         pl = np.zeros((self.max_gt,), np.int32)
@@ -214,15 +289,43 @@ def validate(model: YOLOv8, params, dataset: YoloDataset,
     return evaluate_map(preds, gts, cfg.num_classes, conf_threshold=conf)
 
 
+def make_lr_schedule(lr0: float, lrf: float, total_steps: int,
+                     warmup_steps: int, cos_lr: bool = False):
+    """ultralytics LR shape: linear warmup over `warmup_steps`, then linear
+    decay lr0 -> lr0*lrf over the run (cosine one-cycle when cos_lr).  The
+    reference passes lr0 == lrf*lr0 -> flat after warmup
+    (`/root/reference/utils/trainYolo.py:33`)."""
+    def sched(count):
+        c = jnp.asarray(count, jnp.float32)
+        if warmup_steps > 0:
+            w = jnp.minimum((c + 1.0) / float(warmup_steps), 1.0)
+        else:
+            w = 1.0
+        frac = jnp.clip(c / max(float(total_steps), 1.0), 0.0, 1.0)
+        if cos_lr:
+            decay = lrf + (1.0 - lrf) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        else:
+            decay = (1.0 - frac) * (1.0 - lrf) + lrf
+        return lr0 * w * decay
+    return sched
+
+
 def train(epochs: int, batch: int, data_root: str,
           cfg: DetectConfig = DetectConfig(variant="s"),
           lr0: float = 1e-4, weights: str | None = None,
           max_gt: int = 32, log_fn: Callable[[str], None] = print,
-          skip_preval: bool = False, use_ema: bool = True, mesh=None):
+          skip_preval: bool = False, use_ema: bool = True, mesh=None,
+          lrf: float = 1.0, cos_lr: bool = False,
+          warmup_epochs: float = 3.0, multi_scale: bool = False):
     """Fine-tune (reference train(), `/root/reference/utils/trainYolo.py:6-35`).
 
     data_root: the fold0 directory (images/labels x train/val).
     weights: detect-engine dir to resume from (reference resumes best.pt).
+    lrf/cos_lr/warmup_epochs/multi_scale mirror the ultralytics
+    `model.train()` knobs the reference delegates to; the reference's
+    lr0=lrf=1e-4 call maps to lrf=1.0 (flat schedule).  multi_scale
+    resizes each batch to a random factor in {0.75, 1, 1.25} (each size
+    compiles once and is cached).
     Returns (params, {"preval": ..., "final": ...}).
     """
     spec = dataclasses.replace(YOLOV8_VARIANTS[cfg.variant],
@@ -244,22 +347,43 @@ def train(epochs: int, batch: int, data_root: str,
         metrics["preval"] = validate(model, params, val_ds, cfg)
         log_fn(f"val before training: {metrics['preval']}")
 
-    # SGD momentum with constant lr (reference lr0=lrf -> flat schedule)
+    # SGD momentum; warmup + linear/cosine decay per the ultralytics recipe
+    # (reference lr0=lrf -> flat after warmup)
+    steps_per_epoch = max(len(train_ds) // max(batch, 1), 1)
+    warmup_steps = (max(round(warmup_epochs * steps_per_epoch), 100)
+                    if warmup_epochs > 0 else 0)
+    sched = make_lr_schedule(lr0, lrf, epochs * steps_per_epoch,
+                             warmup_steps, cos_lr)
     tx = optax.chain(optax.add_decayed_weights(5e-4),
                      optax.trace(decay=0.937),
-                     optax.scale(-lr0))
+                     optax.scale_by_schedule(lambda c: -sched(c)))
     opt_state = tx.init(params)
-    step = make_yolo_train_step(model, tx, cfg.input_size, cfg.reg_max,
-                                mesh=mesh)
+    steps = {cfg.input_size[0]: make_yolo_train_step(
+        model, tx, cfg.input_size, cfg.reg_max, mesh=mesh)}
 
     from yolov8_vit_tpu.train.ema import EMA
     ema = EMA(params) if use_ema else None
+    ms_rng = np.random.default_rng(0)
     for epoch in range(epochs):
         losses = []
         for imgs, boxes, labels, mask in train_ds.batches(
                 batch, augment=True, seed=epoch):
-            params, opt_state, loss, parts = step(
-                params, opt_state, jnp.asarray(imgs), jnp.asarray(boxes),
+            sz = size
+            if multi_scale:
+                sz = int(round(size * ms_rng.choice((0.75, 1.0, 1.25))
+                               / 64) * 64)
+            if sz != size:
+                imgs_d = jax.image.resize(
+                    jnp.asarray(imgs), (imgs.shape[0], sz, sz, 3),
+                    "bilinear")
+                boxes_d = jnp.asarray(boxes) * (sz / size)
+                if sz not in steps:
+                    steps[sz] = make_yolo_train_step(
+                        model, tx, (sz, sz), cfg.reg_max, mesh=mesh)
+            else:
+                imgs_d, boxes_d = jnp.asarray(imgs), jnp.asarray(boxes)
+            params, opt_state, loss, parts = steps[sz](
+                params, opt_state, imgs_d, boxes_d,
                 jnp.asarray(labels), jnp.asarray(mask))
             if ema is not None:
                 ema.update(params)
