@@ -189,13 +189,17 @@ class Block(nn.Module):
             h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype,
                              name="norm1")(x)
             x = x + Attention(s, dtype=self.dtype, name="attn")(h)
-        h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm2")(x)
         hidden = int(s.dim * s.mlp_ratio)
         if s.quant == "w8":
-            from yolov8_vit_tpu.ops.quant import quant_mlp_fused
+            # LN2 fused into the int8 MLP kernel (one read of the residual
+            # stream); param tree identical to the module path below
+            from yolov8_vit_tpu.ops.quant import quant_mlp_ln_fused
+            ns, nb = _LNParams(s.dim, name="norm2")()
             k1, s1, b1 = _QuantParams(hidden, name="mlp_fc1")(s.dim)
             k2, s2, b2 = _QuantParams(s.dim, name="mlp_fc2")(hidden)
-            return quant_mlp_fused(h, x, k1, s1, b1, k2, s2, b2)
+            return quant_mlp_ln_fused(x, ns, nb, k1, s1, b1, k2, s2, b2,
+                                      ln_eps=s.ln_eps)
+        h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm2")(x)
         h = _dense(s, hidden, self.dtype, "mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = _dense(s, s.dim, self.dtype, "mlp_fc2")(h)

@@ -211,3 +211,77 @@ def prequantize_tree(params, match_suffixes=("mlp_fc1", "mlp_fc2")):
         return node
 
     return walk(params)
+
+
+def _quant_mlp_ln_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                         w2_ref, s2_ref, b2_ref, o_ref, *, ln_eps: float):
+    """`_quant_mlp_kernel` with the pre-norm LayerNorm fused in: the
+    residual stream enters ONCE (x is both LN input and residual), removing
+    a full (M, D) HBM round-trip per transformer block."""
+    x = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = xc * jax.lax.rsqrt(var + ln_eps) * lns_ref[...][None, :] + \
+        lnb_ref[...][None, :]
+    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    hi = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+    a = jax.lax.dot_general(hi, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    a = a.astype(jnp.float32) * sx * s1_ref[...][None, :] + b1_ref[...][None, :]
+    a = jax.nn.gelu(a, approximate=True)
+    amax2 = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+    sh = jnp.maximum(amax2, 1e-8) / 127.0
+    ai = jnp.clip(jnp.round(a / sh), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(ai, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sh * s2_ref[...][None, :] + b2_ref[...][None, :]
+    o_ref[...] = (x + y).astype(o_ref.dtype)
+
+
+def quant_mlp_ln_fused(x: jnp.ndarray, ln_scale, ln_bias,
+                       w1_i8, s1, b1, w2_i8, s2, b2,
+                       ln_eps: float = 1e-6,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """x + fc2(gelu(fc1(LN(x)))) — the whole pre-norm MLP sub-block with
+    both matmuls int8, LN fused (one HBM read of the residual stream
+    instead of three)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    *lead, d = x.shape
+    hid = w1_i8.shape[1]
+    m = 1
+    for v in lead:
+        m *= v
+    xm = x.reshape(m, d)
+    m_pad = (m + _BM - 1) // _BM * _BM
+    if m_pad != m:
+        xm = jnp.pad(xm, ((0, m_pad - m), (0, 0)))
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_quant_mlp_ln_kernel, ln_eps=ln_eps),
+        grid=(m_pad // _BM,),
+        in_specs=[
+            pl.BlockSpec((_BM, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hid), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), x.dtype),
+        interpret=interpret,
+    )(xm, ln_scale.astype(f32), ln_bias.astype(f32), w1_i8,
+      s1.astype(f32), b1.astype(f32), w2_i8, s2.astype(f32),
+      b2.astype(f32))
+    return out[:m].reshape(*lead, d)
