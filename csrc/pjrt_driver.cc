@@ -10,9 +10,10 @@
 //
 // Usage:
 //   mt_infer --plugin /path/libtpu.so --list-devices
-//   mt_infer --plugin /path/libtpu.so --module detect.mlir \
-//            --compile-options detect.opts.pb --image street.jpg \
-//            [--imgsz 640] [--dump-prefix out]
+//   mt_infer --plugin /path/libtpu.so --module detect.mlir
+//            --compile-options detect.opts.pb --image street.jpg
+//            [--imgsz 640] [--dump-prefix out]  (one command line)
+//   mt_infer --plugin /opt/axon/libaxon_pjrt.so --axon ...   (tunnel TPU)
 //
 // Build: make -C csrc mt_infer  (needs the pjrt_c_api.h include; see Makefile)
 

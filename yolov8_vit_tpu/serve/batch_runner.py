@@ -182,6 +182,7 @@ def make_runner(det_engine_path: str | None = None,
                 classify_budget: int = 4, dtype=jnp.bfloat16,
                 rng_seed: int = 0) -> BatchRunner:
     """Build a BatchRunner from engine dirs (random params when absent)."""
+    import dataclasses as _dc
     from yolov8_vit_tpu.models.vit import ViTSpec
     from yolov8_vit_tpu.runtime.engine import Engine
 
@@ -195,6 +196,10 @@ def make_runner(det_engine_path: str | None = None,
         ceng = Engine(vit_engine_path)
         vit_spec = ceng.vit_spec
         vit_params = ceng.params
+    # attn_impl is a runtime choice, not a weight property: serving always
+    # takes the fused-attention kernel (argmax-stable vs the module path,
+    # tests/test_fused_attention.py)
+    vit_spec = _dc.replace(vit_spec, attn_impl="fused")
 
     pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
                             classify_budget=classify_budget, dtype=dtype)
