@@ -59,10 +59,6 @@ class TwoStagePipeline:
     stem_mode: str = "s2d"
 
     @property
-    def stem_s2d(self) -> bool:       # backward-compat alias
-        return self.stem_mode != "flat"
-
-    @property
     def detector(self) -> YOLOv8:
         spec = dataclasses.replace(YOLOV8_VARIANTS[self.det_cfg.variant],
                                    num_classes=self.det_cfg.num_classes,

@@ -7,12 +7,16 @@ from yolov8_vit_tpu.ops.letterbox import (  # noqa: F401
 from yolov8_vit_tpu.ops.boxes import (  # noqa: F401
     box_iou, inflate_boxes, unletterbox_boxes, box_area,
 )
-from yolov8_vit_tpu.ops.nms import efficient_nms, area_sorted_nms  # noqa: F401
+from yolov8_vit_tpu.ops.nms import (  # noqa: F401
+    efficient_nms, efficient_nms_scan, area_sorted_nms,
+)
 from yolov8_vit_tpu.ops.dfl import dfl_decode, make_anchors  # noqa: F401
 from yolov8_vit_tpu.ops.crop import crop_and_resize_nearest  # noqa: F401
 from yolov8_vit_tpu.ops.preprocess import blob, normalize_pm1  # noqa: F401
-from yolov8_vit_tpu.ops.attention import flash_attention  # noqa: F401
+from yolov8_vit_tpu.ops.attention import (  # noqa: F401
+    flash_attention, fused_attention_block,
+)
 from yolov8_vit_tpu.ops.quant import (  # noqa: F401
     quantize_weight, quantize_act, quant_dense, quant_dense_pre,
-    quant_dense_fused, quant_mlp_fused, prequantize_tree,
+    quant_dense_fused, quant_mlp_fused, quant_mlp_ln_fused, prequantize_tree,
 )
