@@ -160,3 +160,31 @@ def test_unletterbox_roundtrip():
     boxes = jnp.asarray([[100.0, 120.0, 300.0, 280.0]])
     out = unletterbox_boxes(boxes, 0.5, (20.0, 40.0))
     np.testing.assert_allclose(np.asarray(out), [[160.0, 160.0, 560.0, 480.0]])
+
+
+def test_decode_predictions_impls_agree():
+    """The nms_impl config switch ('scan' Pallas kernel vs 'masked'
+    fori_loop) must produce identical engine outputs through the full
+    decode path when candidates fit the masked path's pre_topk."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.config import DetectConfig
+    from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    from yolov8_vit_tpu.runtime.detector import decode_predictions
+
+    spec = dataclasses.replace(YOLOV8_VARIANTS["n"], num_classes=5)
+    model = YOLOv8(spec, fused=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(3),
+                                 jnp.zeros((1, 64, 64, 3)))
+    x = jnp.asarray(np.random.default_rng(4).random((2, 64, 64, 3)),
+                    jnp.float32)
+    head = model.apply(params, x)
+    cfg_scan = DetectConfig(input_size=(64, 64), variant="n", nms_topk=16,
+                            nms_conf=1e-4, nms_impl="scan")
+    cfg_mask = dataclasses.replace(cfg_scan, nms_impl="masked",
+                                   nms_pre_topk=84)
+    a = jax.tree.map(np.asarray, decode_predictions(head, cfg_scan))
+    b = jax.tree.map(np.asarray, decode_predictions(head, cfg_mask))
+    for name, x1, x2 in zip(("num", "boxes", "scores", "labels"), a, b):
+        np.testing.assert_array_equal(x1, x2, err_msg=name)
