@@ -60,6 +60,8 @@ def test_init_multihost_two_process_loopback(tmp_path):
     script.write_text(_WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen([sys.executable, str(script), str(port),
                                str(pid)],
                               stdout=subprocess.PIPE,

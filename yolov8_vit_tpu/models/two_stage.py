@@ -53,10 +53,13 @@ class TwoStagePipeline:
     classify_budget: int = 4          # avg crops classified per image
     dtype: Any = jnp.float32          # activation dtype for both models
     # letterbox emits s2d cells (bit-exact, faster stem; ops/letterbox.py):
-    # "s2d" = 2x2 cells feeding the matmul stem, "flat" = plain letterbox.
-    # (A 4x4-cell variant chaining b0+b1 as embedded-kernel matmuls measured
-    # WORSE end-to-end — docs/performance.md round-2 notes.)
-    stem_mode: str = "s2d"
+    # "cell" = s2d stem + b1/b2 in 2x2-cell layout (ops/cellconv.py, the
+    # fast path), "s2d" = 2x2 cells feeding the matmul stem only, "flat" =
+    # plain letterbox.  (A 4x4-cell variant chaining b0+b1 as
+    # embedded-kernel matmuls measured WORSE end-to-end —
+    # docs/performance.md round-2 notes; the "cell" mode instead keeps the
+    # *activations* in cell layout across b1+b2, which measured faster.)
+    stem_mode: str = "cell"
 
     @property
     def detector(self) -> YOLOv8:
@@ -64,7 +67,8 @@ class TwoStagePipeline:
                                    num_classes=self.det_cfg.num_classes,
                                    reg_max=self.det_cfg.reg_max,
                                    strides=self.det_cfg.strides)
-        return YOLOv8(spec, fused=True, stem_s2d=self.stem_mode == "s2d")
+        return YOLOv8(spec, fused=True, stem_s2d=self.stem_mode != "flat",
+                      cell_region=self.stem_mode == "cell")
 
     @property
     def classifier(self) -> ViTClassifier:
@@ -74,7 +78,7 @@ class TwoStagePipeline:
         """Random-init both param trees (for tests/benchmarks)."""
         r1, r2 = jax.random.split(rng)
         h, w = self.det_cfg.input_size
-        if self.stem_mode == "s2d":
+        if self.stem_mode != "flat":
             det_in = jnp.zeros((1, h // 2 + 1, w // 2 + 1, 12), self.dtype)
         else:
             det_in = jnp.zeros((1, h, w, 3), self.dtype)
@@ -102,7 +106,7 @@ class TwoStagePipeline:
         t = cfg.nms_topk
 
         # ---- stage 1: detect --------------------------------------------
-        if self.stem_mode == "s2d":
+        if self.stem_mode != "flat":
             from yolov8_vit_tpu.ops.letterbox import letterbox_s2d
             lb, ratio, dwdh = letterbox_s2d(images, cfg.input_size,
                                             pad_value=cfg.pad_value,

@@ -169,6 +169,86 @@ class S2DStem(nn.Module):
         return nn.silu(y).astype(cells.dtype)
 
 
+class _ConvBlockParams(nn.Module):
+    """{conv: {kernel, bias}} shell matching ConvBlock's fused param tree."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, name="conv")()
+
+
+class _BottleneckParams(nn.Module):
+    """Param shells matching Bottleneck's fused tree (cv1/conv, cv2/conv)."""
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _ConvBlockParams((3, 3, self.c, self.c), name="cv1")()
+        k2, b2 = _ConvBlockParams((3, 3, self.c, self.c), name="cv2")()
+        return k1, b1, k2, b2
+
+
+class CellConvBlock(nn.Module):
+    """ConvBlock computed in 2x2-cell layout (ops/cellconv.py): same
+    arithmetic, same {conv: {kernel, bias}} params, ~5x faster at C<=64
+    where flat convs waste MXU lanes (measured, docs/performance.md)."""
+    out: int
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, cells, train: bool = False):
+        from yolov8_vit_tpu.ops import cellconv as cc
+        cin = cells.shape[-1] // 4
+        kernel, bias = _ConvParams((self.k, self.k, cin, self.out),
+                                   name="conv")()
+        e = cc.embed_kernel(kernel, self.s)
+        y = cc.cell_conv(cells, e, jnp.tile(bias, 4), self.s)
+        return nn.silu(y)
+
+
+class CellC2f(nn.Module):
+    """C2f computed in 2x2-cell layout.  Param tree identical to fused C2f
+    (cv1/m{i}/cv2); the flat channel split/concat become weight-column and
+    weight-row permutations (free — constant reindexing of the 1x1 kernels,
+    ops/cellconv.py::cell_lane_order)."""
+    out: int
+    n: int = 1
+    shortcut: bool = False
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, cells, train: bool = False):
+        from yolov8_vit_tpu.ops import cellconv as cc
+        c = int(self.out * self.e)
+        cin = cells.shape[-1] // 4
+        k1, b1 = _ConvBlockParams((1, 1, cin, 2 * c), name="cv1")()
+        split_order = cc.cell_lane_order([c, c])
+        e1 = cc.embed_kernel_1x1(k1, out_order=split_order)
+        y = cc.cell_conv(cells, e1, jnp.tile(b1, 4)[split_order], 1, pad=0)
+        y = nn.silu(y)
+        parts = [y[..., :4 * c], y[..., 4 * c:]]
+        for i in range(self.n):
+            bk1, bb1, bk2, bb2 = _BottleneckParams(c, name=f"m{i}")()
+            h = cc.cell_conv(parts[-1], cc.embed_kernel(bk1, 1),
+                             jnp.tile(bb1, 4), 1)
+            h = nn.silu(h)
+            h = cc.cell_conv(h, cc.embed_kernel(bk2, 1),
+                             jnp.tile(bb2, 4), 1)
+            h = nn.silu(h)
+            if self.shortcut:
+                h = parts[-1] + h
+            parts.append(h)
+        ycat = jnp.concatenate(parts, axis=-1)
+        k2, b2 = _ConvBlockParams((1, 1, (2 + self.n) * c, self.out),
+                                  name="cv2")()
+        e2 = cc.embed_kernel_1x1(k2)
+        e2 = e2[:, :, cc.cell_input_perm([c] * (2 + self.n)), :]
+        y = cc.cell_conv(ycat, e2, jnp.tile(b2, 4), 1, pad=0)
+        return nn.silu(y)
+
+
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest 2x upsample (PAN neck top-down path)."""
     b, h, w, c = x.shape
@@ -227,6 +307,10 @@ class YOLOv8(nn.Module):
     # stem_s2d: input is letterbox_s2d cells (B, S/2+1, S/2+1, 4C) instead of
     # the image; b0 computes via S2DStem (same params, bit-identical, faster)
     stem_s2d: bool = False
+    # cell_region: run b1+b2 (the small-channel region where flat convs use
+    # a quarter of the MXU) in 2x2-cell layout — same params, same
+    # arithmetic, ~2 ms faster at 640/batch-8 (ops/cellconv.py)
+    cell_region: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -243,8 +327,16 @@ class YOLOv8(nn.Module):
             x = S2DStem(_ch(64, s), name="b0")(img, train)   # P1
         else:
             x = conv(64, 3, 2, "b0")(img, train)             # P1
-        x = conv(128, 3, 2, "b1")(x, train)                  # P2
-        x = c2f(128, 3, True, "b2")(x, train)
+        if self.cell_region:
+            assert fused, "cell region is an inference-path (fused) feature"
+            from yolov8_vit_tpu.ops.cellconv import cellify, decellify
+            xc = cellify(x)
+            xc = CellConvBlock(_ch(128, s), 3, 2, name="b1")(xc, train)
+            xc = CellC2f(_ch(128, s), _n(3, s), True, name="b2")(xc, train)
+            x = decellify(xc)
+        else:
+            x = conv(128, 3, 2, "b1")(x, train)              # P2
+            x = c2f(128, 3, True, "b2")(x, train)
         x = conv(256, 3, 2, "b3")(x, train)                  # P3
         p3 = c2f(256, 6, True, "b4")(x, train)
         x = conv(512, 3, 2, "b5")(p3, train)                 # P4
