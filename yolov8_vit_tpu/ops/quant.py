@@ -193,7 +193,13 @@ def quant_mlp_fused(h: jnp.ndarray, residual: jnp.ndarray,
     return out[:m].reshape(*lead, d)
 
 
-def prequantize_tree(params, match_suffixes=("mlp_fc1", "mlp_fc2")):
+MLP_SUFFIXES = ("mlp_fc1", "mlp_fc2")
+# quant="w8a": attention qkv/proj also pre-quantized (the fused attention
+# kernel quantizes activations post-LN, which is what keeps this accurate)
+MLP_AND_ATTN_SUFFIXES = MLP_SUFFIXES + ("qkv", "proj")
+
+
+def prequantize_tree(params, match_suffixes=MLP_SUFFIXES):
     """Walk a flax param tree; replace {kernel, bias} of matching module
     names with {kernel_i8, w_scale, bias} (per-out-channel symmetric)."""
     import numpy as np

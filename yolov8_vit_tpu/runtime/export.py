@@ -173,9 +173,15 @@ def export_classify(args) -> str:
             jax.random.PRNGKey(0),
             jnp.zeros((1, spec.img_size, spec.img_size, 3)))
     if args.quant:
-        from yolov8_vit_tpu.ops.quant import prequantize_tree
-        params = prequantize_tree(params)
-        spec = dataclasses.replace(spec, quant="w8")
+        from yolov8_vit_tpu.ops.quant import (prequantize_tree,
+                                              MLP_AND_ATTN_SUFFIXES)
+        level = "w8a" if args.quant == "w8a" else "w8"
+        suffixes = MLP_AND_ATTN_SUFFIXES if level == "w8a" else None
+        params = (prequantize_tree(params, suffixes) if suffixes
+                  else prequantize_tree(params))
+        spec = dataclasses.replace(
+            spec, quant=level,
+            attn_impl="fused" if level == "w8a" else spec.attn_impl)
     meta = {"vit_spec": dataclasses.asdict(spec),
             "num_classes": args.num_classes, "model_name": args.model}
     path = save_engine(args.out, "classify", params, meta)
@@ -211,8 +217,11 @@ def main(argv=None):
     c.add_argument("--out", required=True)
     c.add_argument("--model", default="vit_base_patch8_224.augreg_in21k")
     c.add_argument("--num-classes", type=int, default=5)
-    c.add_argument("--quant", action="store_true",
-                   help="pre-quantize dense weights to int8 (W8A8 engine)")
+    c.add_argument("--quant", nargs="?", const="w8", default=None,
+                   choices=["w8", "w8a"],
+                   help="pre-quantize dense weights to int8: 'w8' = MLP "
+                        "only, 'w8a' = MLP + attention projections (the "
+                        "fast serving config; fused attention kernel)")
     c.add_argument("--stablehlo", default=None, metavar="PREFIX",
                    help="also emit PREFIX.mlir + PREFIX.opts.pb for the "
                         "C++ PJRT driver")
