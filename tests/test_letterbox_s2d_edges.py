@@ -20,20 +20,3 @@ def test_s2d_equals_zero_ring_canvas(in_hw):
     np.testing.assert_allclose(np.asarray(cells), ref_cells,
                                rtol=1e-4, atol=1e-3)
 
-
-def test_identity_fast_path_bit_equal():
-    """Pre-sized input (in == out): the direct cell construction must equal
-    the letterbox()+explicit-s2d reference exactly (u8 is exact in bf16)."""
-    import importlib
-    import numpy as np
-    import jax.numpy as jnp
-    lb = importlib.import_module("yolov8_vit_tpu.ops.letterbox")
-    rng = np.random.default_rng(7)
-    img = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8))
-    fast, r, d = lb.letterbox_s2d(img, (64, 64))
-    pad, r2, d2 = lb.letterbox(img, (64, 64))
-    canvas = jnp.pad(pad.astype(jnp.bfloat16), [(0, 0), (1, 1), (1, 1), (0, 0)])
-    ref = canvas.reshape(2, 33, 2, 33, 2, 3).transpose(0, 1, 3, 2, 4, 5) \
-        .reshape(2, 33, 33, 12)
-    assert jnp.array_equal(fast, ref)
-    assert (r, d) == (r2, d2)

@@ -81,25 +81,6 @@ def letterbox_s2d(img: jnp.ndarray, out_hw: tuple[int, int],
     h, w = img.shape[-3], img.shape[-2]
     new_h, new_w, r, dw, dh, top, left = letterbox_params((h, w), out_hw)
 
-    if (new_h, new_w) == (h, w) and (out_h, out_w) == (h, w):
-        # pre-sized input: the interpolation matrices are identity and there
-        # are no letterbox bands — build the cells directly (zero ring +
-        # reshape/transpose).  Bit-identical to the einsum path (u8 values
-        # are exact in bf16) and ~0.4 ms cheaper at 640²/batch 8.
-        x = img.astype(dtype)
-        squeeze = x.ndim == 3
-        if squeeze:
-            x = x[None]
-        b = x.shape[0]
-        c = x.shape[-1]
-        x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
-        cells = x.reshape(b, (h + 2) // 2, 2, (w + 2) // 2, 2, c) \
-                 .transpose(0, 1, 3, 2, 4, 5) \
-                 .reshape(b, (h + 2) // 2, (w + 2) // 2, 4 * c)
-        if squeeze:
-            cells = cells[0]
-        return cells, r, (dw, dh)
-
     from yolov8_vit_tpu.ops.resize import interp_matrix
 
     def canvas_matrix(out, new, src, off):
