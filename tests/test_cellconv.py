@@ -136,3 +136,17 @@ def test_two_stage_cell_mode_matches_s2d():
                            outs["s2d"]["final_valid"])
     assert jnp.array_equal(outs["cell"]["cls_labels"],
                            outs["s2d"]["cls_labels"])
+
+
+def test_s2d_stem_cell_matches_cellified_flat_stem():
+    """S2DStemCell(cells) == cellify(S2DStem(cells)) on the same params."""
+    from yolov8_vit_tpu.models.yolov8 import S2DStem, S2DStemCell
+    rng = np.random.default_rng(7)
+    cells = jnp.asarray(rng.normal(size=(2, 17, 17, 12)), jnp.float32)
+    flat = S2DStem(8)
+    p = flat.init(jax.random.PRNGKey(0), cells)
+    ref = cellify(flat.apply(p, cells))
+    got = S2DStemCell(8).apply(p, cells)
+    assert got.shape == ref.shape == (2, 8, 8, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

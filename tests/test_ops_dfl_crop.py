@@ -123,3 +123,44 @@ def test_vit_patches_input_matches_image_input():
     got = m.apply(params, patches)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_crop_to_patches_i8_exact_vs_bf16_path():
+    """i8 crop (pixel-128) + 128 == the bf16 crop_to_patches values,
+    across a batch of source frames."""
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.ops.crop import crop_to_patches, crop_to_patches_i8
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.integers(0, 256, (3, 60, 90, 3), dtype=np.uint8))
+    boxes = jnp.asarray([[5, 7, 50, 40], [0, 0, 90, 60], [10, 10, 11, 11],
+                         [2, 2, 40, 55]], jnp.int32)
+    slot_img = jnp.asarray([0, 2, 1, 2], jnp.int32)
+    p, s = 8, 32
+    got = crop_to_patches_i8(imgs, slot_img, boxes, (s, s), p)
+    assert got.dtype == jnp.int8
+    ref = jax.vmap(lambda i, b: crop_to_patches(
+        imgs[i], b[None], (s, s), p)[0])(slot_img, boxes)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.int32) + 128, np.asarray(ref, np.int32))
+
+
+def test_vit_i8_patches_input_matches_normalized_image_input():
+    """ViT fed i8 patches (pixel-128) == ViT fed the [-1,1] image."""
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+    spec = ViTSpec(img_size=32, patch=8, dim=64, depth=1, heads=4,
+                   backbone_classes=16)
+    m = ViTClassifier(spec, 5)
+    rng = np.random.default_rng(12)
+    pix = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.float32)
+    x = jnp.asarray((pix - 127.5) / 127.5, jnp.float32)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    ref = m.apply(params, x)
+    patches = (pix - 128).astype(np.int8) \
+        .reshape(2, 4, 8, 4, 8, 3).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(2, 16, 8, 24)
+    got = m.apply(params, jnp.asarray(patches))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -36,7 +36,7 @@ from yolov8_vit_tpu.config import DetectConfig
 from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec, VIT_B8_224
 from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
 from yolov8_vit_tpu.ops import (
-    unletterbox_boxes, area_sorted_nms, inflate_boxes, blob, normalize_pm1,
+    unletterbox_boxes, area_sorted_nms, inflate_boxes, blob,
 )
 from yolov8_vit_tpu.ops.letterbox import letterbox_fast
 from yolov8_vit_tpu.runtime.detector import decode_predictions
@@ -148,21 +148,19 @@ class TwoStagePipeline:
 
         slot_boxes = inflated.reshape(-1, 4)[slot_idx]         # (K, 4)
 
-        # ---- gather crops directly in ViT patch layout ------------------
-        # (K, n_patches, patch*patch*3): same one-hot selection einsums as
-        # crop_and_resize_nearest, different (free) output-index order —
-        # patchify then runs as a matmul instead of a conv+im2col
+        # ---- gather crops directly in ViT patch layout, in int8 ---------
+        # (K, n_patches, patch, patch*3) int8 of pixel-128: the one-hot
+        # selection einsums run as int8 MXU dots, the source-frame gather
+        # moves u8 bytes, and the [-1,1] normalization folds into the ViT
+        # patch-embed weights (models/vit.py int8 branch) — patchify is a
+        # matmul and no float pass over crop pixels exists anywhere
         vs = self.vit_spec
-        from yolov8_vit_tpu.ops.crop import crop_to_patches
-        def crop_one(img_i, box):
-            return crop_to_patches(
-                images[img_i], box[None, :], (vs.img_size, vs.img_size),
-                vs.patch)[0]
-        crops = jax.vmap(crop_one)(slot_img, slot_boxes)
+        from yolov8_vit_tpu.ops.crop import crop_to_patches_i8
+        crops = crop_to_patches_i8(images, slot_img, slot_boxes,
+                                   (vs.img_size, vs.img_size), vs.patch)
 
         # ---- stage 2: classify ------------------------------------------
-        x = normalize_pm1(blob(crops)).astype(self.dtype)
-        logits = self.classifier.apply(params["vit"], x)       # (K, nc)
+        logits = self.classifier.apply(params["vit"], crops)   # (K, nc)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         k_labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         k_scores = jnp.max(probs, axis=-1)

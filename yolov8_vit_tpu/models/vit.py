@@ -262,9 +262,17 @@ class ViT(nn.Module):
                 and img.shape[-2] == s.patch:
             k, bias = _ConvEmbedParams((s.patch, s.patch, 3, s.dim),
                                        name="patch_embed")()
-            w = k.reshape(s.patch, s.patch * 3, s.dim).astype(self.dtype)
+            w = k.reshape(s.patch, s.patch * 3, s.dim)
+            if img.dtype == jnp.int8:
+                # ops.crop.crop_to_patches_i8 layout: values are pixel-128.
+                # The [-1,1] normalization (pixel-127.5)/127.5 = (v+0.5)/127.5
+                # folds into the embed: x@(W/127.5) + (sum(W)/255 + bias) —
+                # no float pass over the crops anywhere.
+                w = w / jnp.float32(127.5)
+                bias = bias + jnp.sum(k, axis=(0, 1, 2)) / jnp.float32(255.0)
             x = (jax.lax.dot_general(
-                img.astype(self.dtype), w, (((2, 3), (0, 1)), ((), ())),
+                img.astype(self.dtype), w.astype(self.dtype),
+                (((2, 3), (0, 1)), ((), ())),
                 preferred_element_type=jnp.float32)
                  + bias).astype(self.dtype)
         else:

@@ -170,6 +170,43 @@ class S2DStem(nn.Module):
         return nn.silu(y).astype(cells.dtype)
 
 
+class S2DStemCell(nn.Module):
+    """`S2DStem` emitting 2x2-cell layout directly: (B, 321, 321, 4C) cells
+    -> (B, 160, 160, 4*out) canonical cells, same {conv: {kernel, bias}}
+    params, same arithmetic.
+
+    The stride-2 stem output pixel (2i+p, 2j+q) reads letterbox cells
+    (2i+p+a, 2j+q+b), a,b in {0,1} — so the four output sub-positions of an
+    output CELL together read a 3x3 window of input cells: one stride-2
+    3x3 cell-space conv with the stem matmul's four (4C -> out) blocks
+    embedded per sub-position.  2.25x redundant FLOPs vs the flat stem,
+    but it deletes the cellify relayout feeding the b1/b2 cell region,
+    which measured 1.0 ms at (8, 320, 320, 32) — the relayout was 4x the
+    cost of the region's convs (docs/performance.md round-2)."""
+    out: int
+
+    @nn.compact
+    def __call__(self, cells, train: bool = False):
+        c = cells.shape[-1] // 4
+        kernel, bias = _ConvParams((3, 3, c, self.out), name="conv")()
+        k4 = jnp.zeros((4, 4, c, self.out), kernel.dtype).at[:3, :3].set(kernel)
+        w = k4.reshape(2, 2, 2, 2, c, self.out).transpose(0, 2, 1, 3, 4, 5)
+        w = w.reshape(4, 4 * c, self.out)                 # W[a*2+b]
+        e = jnp.zeros((3, 3, 4 * c, 4 * self.out), kernel.dtype)
+        for p in range(2):
+            for q in range(2):
+                g = (2 * p + q) * self.out
+                for a in range(2):
+                    for b in range(2):
+                        e = e.at[p + a, q + b, :, g:g + self.out] \
+                             .add(w[a * 2 + b])
+        y = jax.lax.conv_general_dilated(
+            cells, e.astype(cells.dtype), (2, 2), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) + jnp.tile(bias, 4)
+        return nn.silu(y).astype(cells.dtype)
+
+
 class _ConvBlockParams(nn.Module):
     """{conv: {kernel, bias}} shell matching ConvBlock's fused param tree."""
     shape: tuple
@@ -342,19 +379,24 @@ class YOLOv8(nn.Module):
         def c2f(c, n, sc, name):
             return C2f(_ch(c, s), _n(n, s), sc, fused=fused, name=name)
 
-        if self.stem_s2d:
-            assert fused, "s2d stem is an inference-path (fused) feature"
-            x = S2DStem(_ch(64, s), name="b0")(img, train)   # P1
-        else:
-            x = conv(64, 3, 2, "b0")(img, train)             # P1
         if self.cell_region:
+            # b0 emits cell layout directly — the separate cellify relayout
+            # between a flat stem and the cell region measured 1.0 ms at
+            # (8, 320, 320, 32), 4x the region's conv time
             assert fused, "cell region is an inference-path (fused) feature"
-            from yolov8_vit_tpu.ops.cellconv import cellify, decellify
-            xc = cellify(x)
+            assert self.stem_s2d, "cell region requires the s2d letterbox"
+            from yolov8_vit_tpu.ops.cellconv import decellify
+            xc = S2DStemCell(_ch(64, s), name="b0")(img, train)
             xc = CellConvBlock(_ch(128, s), 3, 2, name="b1")(xc, train)
             xc = CellC2f(_ch(128, s), _n(3, s), True, name="b2")(xc, train)
             x = decellify(xc)
+        elif self.stem_s2d:
+            assert fused, "s2d stem is an inference-path (fused) feature"
+            x = S2DStem(_ch(64, s), name="b0")(img, train)   # P1
+            x = conv(128, 3, 2, "b1")(x, train)              # P2
+            x = c2f(128, 3, True, "b2")(x, train)
         else:
+            x = conv(64, 3, 2, "b0")(img, train)             # P1
             x = conv(128, 3, 2, "b1")(x, train)              # P2
             x = c2f(128, 3, True, "b2")(x, train)
         x = conv(256, 3, 2, "b3")(x, train)                  # P3
