@@ -74,7 +74,7 @@ struct Args {
 bool IsInt(const std::string& s) {
   if (s.empty()) return false;
   for (char c : s)
-    if (!isdigit(c)) return false;
+    if (!isdigit(static_cast<unsigned char>(c))) return false;
   return true;
 }
 
@@ -100,10 +100,10 @@ int main(int argc, char** argv) {
       FILE* ur = fopen("/proc/sys/kernel/random/uuid", "r");
       if (ur && fgets(sid, sizeof(sid), ur)) {
         sid[strcspn(sid, "\n")] = 0;
-        fclose(ur);
       } else {
         snprintf(sid, sizeof(sid), "mtinfer-%d", (int)getpid());
       }
+      if (ur) fclose(ur);
       const char* rc = getenv("PALLAS_AXON_REMOTE_COMPILE");
       args.options.push_back(std::string("remote_compile=") +
                              ((rc && rc[0] == '1') ? "1" : "0"));

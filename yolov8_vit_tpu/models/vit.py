@@ -47,6 +47,18 @@ class ViTSpec:
     # attn_impl="fused" and prequantize_tree(params, MLP_AND_ATTN_SUFFIXES))
     quant: str = "none"
 
+    def __post_init__(self):
+        if self.attn_impl not in ("xla", "pallas", "fused"):
+            raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
+        if self.quant not in ("none", "dynamic", "w8", "w8a"):
+            raise ValueError(f"unknown quant {self.quant!r}")
+        if self.quant == "w8a" and self.attn_impl != "fused":
+            # Block's w8a branch only exists on the fused path; without this
+            # check the spec silently runs f32 attention (or apply fails
+            # deep in flax when params were prequantized with the attention
+            # suffixes)
+            raise ValueError("quant='w8a' requires attn_impl='fused'")
+
     @property
     def tokens(self) -> int:
         return (self.img_size // self.patch) ** 2 + 1
@@ -159,18 +171,6 @@ class _AttnParamsI8(nn.Module):
         return kq, sq, bq, kp, sp, bp
 
 
-class _ConvEmbedParams(nn.Module):
-    """{kernel, bias} shell matching nn.Conv's param tree (HWIO kernel), so
-    the matmul patchify path loads conv checkpoints unchanged."""
-    shape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("kernel", nn.initializers.lecun_normal(),
-                           self.shape),
-                self.param("bias", nn.initializers.zeros, (self.shape[-1],)))
-
-
 class Attention(nn.Module):
     spec: ViTSpec
     dtype: jnp.dtype = jnp.float32
@@ -260,8 +260,10 @@ class ViT(nn.Module):
         b = img.shape[0]
         if img.ndim == 4 and img.shape[-1] == s.patch * 3 \
                 and img.shape[-2] == s.patch:
-            k, bias = _ConvEmbedParams((s.patch, s.patch, 3, s.dim),
-                                       name="patch_embed")()
+            # HWIO conv-layout {kernel, bias} under the conv's scope name,
+            # so the matmul patchify path loads conv checkpoints unchanged
+            k, bias = _DenseParams((s.patch, s.patch, 3, s.dim),
+                                   name="patch_embed")()
             w = k.reshape(s.patch, s.patch * 3, s.dim)
             if img.dtype == jnp.int8:
                 # ops.crop.crop_to_patches_i8 layout: values are pixel-128.

@@ -86,32 +86,31 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
-                       bp_ref, o_ref, oacc, *, heads: int, ln_eps: float):
-    """Whole pre-norm attention sub-block for `g` images in one program:
-
-        out = x + proj( sdpa( qkv( LN1(x) ) ) )
-
-    All intermediates (LN output, fused-QKV activations, per-head scores,
-    softmax, head outputs) live in VMEM — the XLA path round-trips each to
-    HBM.  Heads are processed one at a time with plain value slices; an
-    earlier block-diagonal two-head formulation using partial-lane scratch
-    stores was both slower AND silently corrupted data on hardware (clean in
-    interpret mode) — keep the scratch-free form.
-    """
-    g, t, d = x_ref.shape
-    hd = d // heads
-    m = g * t
-    dt = x_ref.dtype
-    xx = x_ref[...].reshape(m, d).astype(jnp.float32)
+def _layernorm_f32(xx, scale_ref, bias_ref, eps: float):
+    """Row LayerNorm in f32: xx (M, D) -> (M, D)."""
     mu = jnp.mean(xx, axis=-1, keepdims=True)
     xc = xx - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    h = (xc * jax.lax.rsqrt(var + ln_eps) * lns_ref[...][None, :] +
-         lnb_ref[...][None, :]).astype(dt)
-    qkv = (jax.lax.dot_general(h, wq_ref[...], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-           + bq_ref[...][None, :]).astype(dt)
+    return (xc * jax.lax.rsqrt(var + eps) * scale_ref[...][None, :] +
+            bias_ref[...][None, :])
+
+
+def _quantize_rows(h):
+    """Per-row dynamic symmetric int8: (M, D) f32 -> (int8, scale (M, 1))."""
+    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8), s
+
+
+def _sdpa_per_head(qkv, oacc, g: int, t: int, d: int, heads: int, dt):
+    """Per-image, per-head softmax(qk^T)v over a packed (g*t, 3d) QKV
+    buffer, writing head outputs into the (g*t, d) VMEM scratch.
+
+    Heads are processed one at a time with plain value slices; an earlier
+    block-diagonal two-head formulation using partial-lane scratch stores
+    was both slower AND silently corrupted data on hardware (clean in
+    interpret mode) — keep the scratch-free form."""
+    hd = d // heads
     scale = jnp.asarray(hd ** -0.5, dt)
     for gi in range(g):
         r0 = gi * t
@@ -128,6 +127,34 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
             o2 = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             oacc[r0:r0 + t, c0:c0 + hd] = o2.astype(dt)
+
+
+def _attn_group_size(b: int, t: int) -> int:
+    """Images per program: keep the per-program QKV buffer ~<=4 MB."""
+    g = max(1, min(b, 1024 // t if t >= 256 else 4))
+    while b % g:
+        g -= 1
+    return g
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
+                       bp_ref, o_ref, oacc, *, heads: int, ln_eps: float):
+    """Whole pre-norm attention sub-block for `g` images in one program:
+
+        out = x + proj( sdpa( qkv( LN1(x) ) ) )
+
+    All intermediates (LN output, fused-QKV activations, per-head scores,
+    softmax, head outputs) live in VMEM — the XLA path round-trips each to
+    HBM.
+    """
+    g, t, d = x_ref.shape
+    dt = x_ref.dtype
+    xx = x_ref[...].reshape(g * t, d).astype(jnp.float32)
+    h = _layernorm_f32(xx, lns_ref, lnb_ref, ln_eps).astype(dt)
+    qkv = (jax.lax.dot_general(h, wq_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + bq_ref[...][None, :]).astype(dt)
+    _sdpa_per_head(qkv, oacc, g, t, d, heads, dt)
     y = jax.lax.dot_general(oacc[...], wp_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + bp_ref[...][None, :]
@@ -144,42 +171,16 @@ def _attn_block_kernel_i8(x_ref, lns_ref, lnb_ref, wq_ref, sq_ref, bq_ref,
     per-out-channel int8.  SDPA stays bf16 (scores exponentiate errors).
     Measured 0.213 vs 0.260 ms/block at ViT-B/16 x32-crop shapes."""
     g, t, d = x_ref.shape
-    hd = d // heads
-    m = g * t
     dt = x_ref.dtype
-    xx = x_ref[...].reshape(m, d).astype(jnp.float32)
-    mu = jnp.mean(xx, axis=-1, keepdims=True)
-    xc = xx - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    h = (xc * jax.lax.rsqrt(var + ln_eps) * lns_ref[...][None, :] +
-         lnb_ref[...][None, :])
-    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) / 127.0
-    hi = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+    xx = x_ref[...].reshape(g * t, d).astype(jnp.float32)
+    h = _layernorm_f32(xx, lns_ref, lnb_ref, ln_eps)
+    hi, sx = _quantize_rows(h)
     acc = jax.lax.dot_general(hi, wq_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     qkv = (acc.astype(jnp.float32) * sx * sq_ref[...][None, :]
            + bq_ref[...][None, :]).astype(dt)
-    scale = jnp.asarray(hd ** -0.5, dt)
-    for gi in range(g):
-        r0 = gi * t
-        for hh in range(heads):
-            c0 = hh * hd
-            qh = qkv[r0:r0 + t, c0:c0 + hd] * scale
-            kh = qkv[r0:r0 + t, d + c0:d + c0 + hd]
-            vh = qkv[r0:r0 + t, 2 * d + c0:2 * d + c0 + hd]
-            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            mx = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - mx)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
-            o2 = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            oacc[r0:r0 + t, c0:c0 + hd] = o2.astype(dt)
-    oa = oacc[...].astype(jnp.float32)
-    amax2 = jnp.max(jnp.abs(oa), axis=-1, keepdims=True)
-    so = jnp.maximum(amax2, 1e-8) / 127.0
-    oi = jnp.clip(jnp.round(oa / so), -127, 127).astype(jnp.int8)
+    _sdpa_per_head(qkv, oacc, g, t, d, heads, dt)
+    oi, so = _quantize_rows(oacc[...].astype(jnp.float32))
     acc2 = jax.lax.dot_general(oi, wp_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     y = (acc2.astype(jnp.float32) * so * sp_ref[...][None, :]
@@ -197,9 +198,7 @@ def fused_attention_block_i8(x: jnp.ndarray, ln_scale, ln_bias,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
-    g = max(1, min(b, 1024 // t if t >= 256 else 4))
-    while b % g:
-        g -= 1
+    g = _attn_group_size(b, t)
     f32 = jnp.float32
     args = (ln_scale.astype(f32), ln_bias.astype(f32), wqkv_i8,
             sqkv.astype(f32), bqkv.astype(f32), wproj_i8,
@@ -230,10 +229,7 @@ def fused_attention_block(x: jnp.ndarray, ln_scale, ln_bias, wqkv, bqkv,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
-    # group size: keep the per-program QKV buffer ~<=4 MB
-    g = max(1, min(b, 1024 // t if t >= 256 else 4))
-    while b % g:
-        g -= 1
+    g = _attn_group_size(b, t)
     dt = x.dtype
     f32 = jnp.float32
     out = pl.pallas_call(

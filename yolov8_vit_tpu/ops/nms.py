@@ -26,6 +26,16 @@ import jax.numpy as jnp
 from yolov8_vit_tpu.ops.boxes import box_iou, box_area
 
 
+def _fold_lanes(a: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
+    """(N,) -> (ceil(N/128), 128) f32, padding with `fill`: the scan-NMS
+    kernels' input layout (full 8-sublane x 128-lane VPU tiles)."""
+    n = a.shape[0]
+    kp = -(-n // 128) * 128
+    if kp != n:
+        a = jnp.pad(a, (0, kp - n), constant_values=fill)
+    return a.reshape(kp // 128, 128).astype(jnp.float32)
+
+
 def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
                      iou_threshold: float) -> jnp.ndarray:
     """Sequential greedy NMS over pre-ordered candidates.
@@ -209,13 +219,7 @@ def efficient_nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     outl = -(-max_output // 128) * 128
     per_score = jnp.max(scores, axis=-1)
     per_label = jnp.argmax(scores, axis=-1).astype(jnp.float32)
-    pad = kp - n
-
-    def fold(a, fill=0.0):
-        if pad:
-            a = jnp.pad(a, (0, pad), constant_values=fill)
-        return a.reshape(kp // 128, 128).astype(jnp.float32)
-
+    fold = _fold_lanes
     side = (jnp.max(jnp.abs(boxes)) + 1.0).reshape(1, 1)
     out, nd = pl.pallas_call(
         functools.partial(_nms_argmax_kernel, iou_threshold=iou_threshold,
@@ -316,13 +320,7 @@ def area_sorted_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
             interpret = jax.default_backend() != "tpu"
         n = boxes.shape[0]
         kp = -(-n // 128) * 128
-        pad = kp - n
-
-        def fold(a, fill=0.0):
-            if pad:
-                a = jnp.pad(a, (0, pad), constant_values=fill)
-            return a.reshape(kp // 128, 128).astype(jnp.float32)
-
+        fold = _fold_lanes
         pri = jnp.where(valid, key.astype(jnp.float32), _KILLED)
         keep = pl.pallas_call(
             functools.partial(_mask_scan_kernel,
