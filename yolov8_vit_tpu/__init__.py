@@ -19,3 +19,8 @@ and the full retrain loop — all as idiomatic TPU programs:
 __version__ = "0.1.0"
 
 from yolov8_vit_tpu.config import CFG, DetectConfig, ServiceConfig  # noqa: F401
+
+# `from yolov8_vit_tpu import refapi as utils` gives reference-shaped code
+# the `utils/utils.py` import surface (BASELINE.json "public API mirrors
+# utils/utils.py"); imported lazily by consumers, not here, to keep bare
+# package import light.
