@@ -52,6 +52,48 @@ def test_build_model_loads_wrapper_pth(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+def test_train_module_surfaces():
+    from yolov8_vit_tpu.refapi import trainClass, trainYolo, class_config
+    for name in ["set_seed", "cosine_anneal_schedule", "crop_image",
+                 "build_model", "build_loss", "train", "classExport",
+                 "buildInferModel", "deliver", "retrain",
+                 "Network_Wrapper"]:
+        assert callable(getattr(trainClass, name)), name
+    for name in ["train", "yolo2dict", "yoloRetrain"]:
+        assert callable(getattr(trainYolo, name)), name
+    assert class_config.CFG().num_classes == 5
+    assert callable(class_config.convert) and callable(class_config.xml2txt)
+
+
+def test_crop_image_inflation(tmp_path):
+    """Eval-mode inflation is (w//10)//2 per side, clamped — the reference
+    CODE behavior (`/root/reference/utils/trainClass.py:85-91`)."""
+    from PIL import Image
+    from yolov8_vit_tpu.refapi import trainClass
+    img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+    p = tmp_path / "im.png"
+    Image.fromarray(img).save(p)
+    crop = trainClass.crop_image(str(p), 20, 30, 60, 70, training=False)
+    # dis_x = 40//10 = 4 -> 2 per side: x [18, 62), y [28, 72)
+    assert crop.shape == (44, 44, 3)
+    np.testing.assert_array_equal(crop, img[28:72, 18:62])
+
+
+def test_class_export_roundtrip(tmp_path):
+    from yolov8_vit_tpu.refapi import trainClass
+    from yolov8_vit_tpu.config import CFG
+    spec = ViTSpec(img_size=32, patch=8, dim=64, depth=1, heads=4,
+                   backbone_classes=16)
+    cfg = CFG()
+    out = trainClass.classExport(cfg, None, None,
+                                 out_dir=str(tmp_path / "eng"), spec=spec)
+    eng = trainClass.buildInferModel(out)
+    assert eng is not None
+    logits = eng(jnp.zeros((1, 32, 32, 3)))
+    assert logits.shape == (1, cfg.num_classes)
+    assert trainClass.buildInferModel(str(tmp_path / "missing")) is None
+
+
 def test_build_model_fresh_init():
     spec = ViTSpec(img_size=32, patch=8, dim=64, depth=1, heads=4,
                    backbone_classes=16)

@@ -11,6 +11,9 @@ and keep its call sites (`/root/reference/utils/utils.py:12-291`).  The
 only torch-specific signature, `build_model`, becomes a functional
 (model, params) pair — flax modules carry no state — loading the SAME
 Network_Wrapper `.pth` checkpoints the reference saves.
+
+Submodules mirror the rest of the reference `utils/` package:
+`refapi.trainClass`, `refapi.trainYolo`, `refapi.class_config`.
 """
 from __future__ import annotations
 
