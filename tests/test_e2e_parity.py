@@ -66,9 +66,14 @@ def _torch_reference_two_stage(img_u8, det_model, vit_model):
     boxes = np.concatenate(boxes_all)
     scores = np.concatenate(scores_all)
 
-    # EfficientNMS-equivalent (class-aware greedy, conf .25, IoU .65)
-    lab = scores.argmax(-1)
-    sc = scores.max(-1)
+    # EfficientNMS-equivalent: class-aware greedy over every
+    # (anchor, class) candidate above conf .25, IoU .65 (TRT plugin
+    # contract — an anchor with two classes above threshold is TWO
+    # candidates; suppression only within the same class)
+    n_anchor, n_cls = scores.shape
+    sc = scores.T.reshape(-1)              # class-major pool (kernel order)
+    lab = np.repeat(np.arange(n_cls), n_anchor)
+    cboxes = np.tile(boxes, (n_cls, 1))
     order = np.argsort(-sc, kind="stable")
     kept = []
     for i in order:
@@ -78,7 +83,7 @@ def _torch_reference_two_stage(img_u8, det_model, vit_model):
         for j in kept:
             if lab[j] != lab[i]:
                 continue
-            bi, bj = boxes[i], boxes[j]
+            bi, bj = cboxes[i], cboxes[j]
             ix1, iy1 = max(bi[0], bj[0]), max(bi[1], bj[1])
             ix2, iy2 = min(bi[2], bj[2]), min(bi[3], bj[3])
             inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
@@ -92,7 +97,7 @@ def _torch_reference_two_stage(img_u8, det_model, vit_model):
     kept = kept[:DET_CFG.nms_topk]
 
     # un-letterbox + clip
-    out_boxes = (boxes[kept] - np.array([dw, dh, dw, dh])) / r
+    out_boxes = (cboxes[kept] - np.array([dw, dh, dw, dh])) / r
     out_boxes = out_boxes.clip([0, 0, 0, 0], [w, h, w, h])
     out_scores, out_labels = sc[kept], lab[kept]
 

@@ -19,9 +19,13 @@ from yolov8_vit_tpu.ops.nms import (efficient_nms, efficient_nms_scan,
 
 
 def torch_greedy_nms(boxes: torch.Tensor, scores: torch.Tensor,
-                     iou_t: float) -> list[int]:
+                     iou_t: float,
+                     labels: torch.Tensor | None = None) -> list[int]:
     """torchvision.ops.nms semantics: score-descending (stable ties ->
-    ascending index), suppress IoU > threshold, suppressed never suppress."""
+    ascending index), suppress IoU > threshold, suppressed never suppress.
+    With `labels`, suppression applies only within the same class (TRT
+    class-aware mode, implemented DIRECTLY — no coordinate-offset trick, so
+    this is an independent check of the kernel's offset-band construction)."""
     order = torch.argsort(scores, descending=True, stable=True)
     keep = []
     while order.numel():
@@ -38,31 +42,45 @@ def torch_greedy_nms(boxes: torch.Tensor, scores: torch.Tensor,
         area_r = ((boxes[rest, 2] - boxes[rest, 0]) *
                   (boxes[rest, 3] - boxes[rest, 1]))
         iou = inter / torch.clamp(area_i + area_r - inter, min=1e-9)
-        order = rest[iou <= iou_t]
+        kill = iou > iou_t
+        if labels is not None:
+            kill &= labels[rest] == labels[i]
+        order = rest[~kill]
     return keep
 
 
-def torch_efficient_nms(boxes, class_scores, iou_t, score_t, topk):
-    """Full-candidate class-aware EfficientNMS in torch (no truncation)."""
+def torch_efficient_nms(boxes, class_scores, iou_t, score_t, topk,
+                        multi_label=True):
+    """Full-candidate class-aware EfficientNMS in torch (no truncation).
+
+    multi_label=True is the TRT plugin contract: every (anchor, class)
+    pair above threshold is its own candidate
+    (`/root/reference/docs/YOLO_TensorRT_Technical.md:106-135`)."""
     b = torch.from_numpy(boxes)
     s = torch.from_numpy(class_scores)
-    per_score, per_label = s.max(dim=-1)
-    valid = per_score > score_t
-    side = float(b.abs().max()) + 1.0
-    off = per_label.to(b.dtype)[:, None] * side
-    idx = torch.nonzero(valid).flatten()
-    keep = torch_greedy_nms((b + off)[idx], per_score[idx], iou_t)
-    kept = idx[torch.as_tensor(keep, dtype=torch.long)]
-    kept = kept[torch.argsort(per_score[kept], descending=True,
-                              stable=True)][:topk]
-    n = len(kept)
+    n, c = s.shape
+    if multi_label:
+        # class-major pool: ties break lowest class, then lowest anchor —
+        # the kernel's (class, anchor) plane layout
+        pool_scores = s.T.reshape(-1)
+        pool_labels = torch.arange(c).repeat_interleave(n)
+        pool_boxes = b.repeat(c, 1)
+    else:
+        pool_scores, pool_labels = s.max(dim=-1)
+        pool_boxes = b
+    idx = torch.nonzero(pool_scores > score_t).flatten()
+    keep = torch_greedy_nms(pool_boxes[idx], pool_scores[idx], iou_t,
+                            labels=pool_labels[idx])
+    # greedy keep order IS score-descending (stable), so prefix == topk
+    kept = idx[torch.as_tensor(keep, dtype=torch.long)][:topk]
+    n_kept = len(kept)
     out_boxes = np.zeros((topk, 4), np.float32)
     out_scores = np.zeros((topk,), np.float32)
     out_labels = np.full((topk,), -1, np.int32)
-    out_boxes[:n] = b[kept].numpy()
-    out_scores[:n] = per_score[kept].numpy()
-    out_labels[:n] = per_label[kept].numpy()
-    return n, out_boxes, out_scores, out_labels
+    out_boxes[:n_kept] = pool_boxes[kept].numpy()
+    out_scores[:n_kept] = pool_scores[kept].numpy()
+    out_labels[:n_kept] = pool_labels[kept].numpy()
+    return n_kept, out_boxes, out_scores, out_labels
 
 
 def _dense_scene(n, seed, n_above, ties=False):
@@ -128,6 +146,67 @@ def test_scan_batched_multi_image_ties():
         assert int(got[0][i]) == ref[0]
         np.testing.assert_array_equal(np.asarray(got[1][i]), ref[1])
         np.testing.assert_array_equal(np.asarray(got[3][i]), ref[3])
+
+
+def test_multilabel_anchor_yields_two_detections():
+    """TRT plugin contract: an anchor with two classes above threshold is
+    TWO candidates; class-aware NMS keeps both (classes never suppress
+    each other).  A per-anchor argmax reduction drops the runner-up."""
+    boxes = np.array([[100, 100, 200, 200],
+                      [400, 400, 480, 480]], np.float32)
+    scores = np.zeros((2, 5), np.float32)
+    scores[0, 1] = 0.6
+    scores[0, 3] = 0.4     # same anchor, second class above 0.25
+    scores[1, 2] = 0.5
+    ref = torch_efficient_nms(boxes, scores, 0.65, 0.25, 100)
+    assert ref[0] == 3
+    for fn in (efficient_nms, efficient_nms_scan):
+        got = fn(jnp.asarray(boxes), jnp.asarray(scores))
+        assert int(got[0]) == 3, fn.__name__
+        np.testing.assert_array_equal(np.asarray(got[3]), ref[3])
+        np.testing.assert_array_equal(np.asarray(got[1]), ref[1])
+
+
+def test_negative_coords_no_cross_class_suppression():
+    """DFL decode is unclamped, so boxes can have negative coords; the
+    class-offset bands must still be disjoint (regression: with stride
+    `side` instead of 2*side, a class-c box near +max and a class-(c+1)
+    box near -max landed in overlapping bands and cross-suppressed)."""
+    # class-1 box near the positive extreme, class-2 box deeply negative:
+    # after a WRONG offset of label*side these overlap almost exactly
+    boxes = np.array([[600.0, 600.0, 700.0, 700.0],
+                      [-105.0, -105.0, -5.0, -5.0]], np.float32)
+    scores = np.zeros((2, 5), np.float32)
+    scores[0, 1] = 0.9
+    scores[1, 2] = 0.8
+    ref = torch_efficient_nms(boxes, scores, 0.65, 0.25, 100)
+    assert ref[0] == 2
+    for fn in (efficient_nms, efficient_nms_scan):
+        got = fn(jnp.asarray(boxes), jnp.asarray(scores))
+        assert int(got[0]) == 2, fn.__name__
+        np.testing.assert_array_equal(np.asarray(got[3]), ref[3])
+
+
+def test_dense_multilabel_parity():
+    """Dense scene where many anchors carry 2-3 classes above threshold."""
+    rng = np.random.default_rng(11)
+    n = 1024
+    centers = rng.normal(320, 80, (n, 2))
+    wh = rng.uniform(20, 160, (n, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                           -1).astype(np.float32)
+    scores = rng.uniform(0.0, 0.2, (n, 5)).astype(np.float32)
+    hot = rng.choice(n, 500, replace=False)
+    for a in hot:
+        for k in rng.choice(5, rng.integers(1, 4), replace=False):
+            scores[a, k] = rng.uniform(0.3, 0.95)
+    ref = torch_efficient_nms(boxes, scores, 0.65, 0.25, 100)
+    got = jax.jit(efficient_nms_scan)(jnp.asarray(boxes),
+                                      jnp.asarray(scores))
+    assert int(got[0]) == ref[0]
+    np.testing.assert_array_equal(np.asarray(got[1]), ref[1])
+    np.testing.assert_array_equal(np.asarray(got[2]), ref[2])
+    np.testing.assert_array_equal(np.asarray(got[3]), ref[3])
 
 
 @pytest.mark.parametrize("sort_by", ["area", "score"])

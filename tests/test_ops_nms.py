@@ -182,8 +182,10 @@ def test_decode_predictions_impls_agree():
     head = model.apply(params, x)
     cfg_scan = DetectConfig(input_size=(64, 64), variant="n", nms_topk=16,
                             nms_conf=1e-4, nms_impl="scan")
+    # conf 1e-4 makes every (anchor, class) pair a candidate (multi-label
+    # plugin semantics): 84 anchors x 5 classes
     cfg_mask = dataclasses.replace(cfg_scan, nms_impl="masked",
-                                   nms_pre_topk=84)
+                                   nms_pre_topk=420)
     a = jax.tree.map(np.asarray, decode_predictions(head, cfg_scan))
     b = jax.tree.map(np.asarray, decode_predictions(head, cfg_mask))
     for name, x1, x2 in zip(("num", "boxes", "scores", "labels"), a, b):

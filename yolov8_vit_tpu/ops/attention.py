@@ -86,22 +86,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def _layernorm_f32(xx, scale_ref, bias_ref, eps: float):
-    """Row LayerNorm in f32: xx (M, D) -> (M, D)."""
-    mu = jnp.mean(xx, axis=-1, keepdims=True)
-    xc = xx - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    return (xc * jax.lax.rsqrt(var + eps) * scale_ref[...][None, :] +
-            bias_ref[...][None, :])
-
-
-def _quantize_rows(h):
-    """Per-row dynamic symmetric int8: (M, D) f32 -> (int8, scale (M, 1))."""
-    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, 1e-8) / 127.0
-    return jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8), s
-
-
 def _sdpa_per_head(qkv, oacc, g: int, t: int, d: int, heads: int, dt):
     """Per-image, per-head softmax(qk^T)v over a packed (g*t, 3d) QKV
     buffer, writing head outputs into the (g*t, d) VMEM scratch.
@@ -147,10 +131,12 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
     softmax, head outputs) live in VMEM — the XLA path round-trips each to
     HBM.
     """
+    from yolov8_vit_tpu.ops.quant import layernorm_f32
     g, t, d = x_ref.shape
     dt = x_ref.dtype
     xx = x_ref[...].reshape(g * t, d).astype(jnp.float32)
-    h = _layernorm_f32(xx, lns_ref, lnb_ref, ln_eps).astype(dt)
+    h = layernorm_f32(xx, lns_ref[...][None, :], lnb_ref[...][None, :],
+                      ln_eps).astype(dt)
     qkv = (jax.lax.dot_general(h, wq_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
            + bq_ref[...][None, :]).astype(dt)
@@ -170,17 +156,19 @@ def _attn_block_kernel_i8(x_ref, lns_ref, lnb_ref, wq_ref, sq_ref, bq_ref,
     a pre-LN attempt measured ~6% output error, this one ~0.5%), weights
     per-out-channel int8.  SDPA stays bf16 (scores exponentiate errors).
     Measured 0.213 vs 0.260 ms/block at ViT-B/16 x32-crop shapes."""
+    from yolov8_vit_tpu.ops.quant import layernorm_f32, quantize_act
     g, t, d = x_ref.shape
     dt = x_ref.dtype
     xx = x_ref[...].reshape(g * t, d).astype(jnp.float32)
-    h = _layernorm_f32(xx, lns_ref, lnb_ref, ln_eps)
-    hi, sx = _quantize_rows(h)
+    h = layernorm_f32(xx, lns_ref[...][None, :], lnb_ref[...][None, :],
+                      ln_eps)
+    hi, sx = quantize_act(h)
     acc = jax.lax.dot_general(hi, wq_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     qkv = (acc.astype(jnp.float32) * sx * sq_ref[...][None, :]
            + bq_ref[...][None, :]).astype(dt)
     _sdpa_per_head(qkv, oacc, g, t, d, heads, dt)
-    oi, so = _quantize_rows(oacc[...].astype(jnp.float32))
+    oi, so = quantize_act(oacc[...].astype(jnp.float32))
     acc2 = jax.lax.dot_general(oi, wp_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     y = (acc2.astype(jnp.float32) * so * sp_ref[...][None, :]

@@ -11,6 +11,7 @@ Parity targets:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -47,7 +48,7 @@ def dfl_decode(box_dist: jnp.ndarray, anchors: jnp.ndarray,
     """
     *lead, a, _ = box_dist.shape
     dist = box_dist.reshape(*lead, a, 4, reg_max)
-    probs = _softmax(dist)
+    probs = jax.nn.softmax(dist, axis=-1)
     bins = jnp.arange(reg_max, dtype=probs.dtype)
     ltrb = jnp.einsum("...kr,r->...k", probs, bins)
     lt, rb = ltrb[..., :2], ltrb[..., 2:]
@@ -55,8 +56,3 @@ def dfl_decode(box_dist: jnp.ndarray, anchors: jnp.ndarray,
     x2y2 = anchors + rb
     return jnp.concatenate([x1y1, x2y2], axis=-1) * stride_per_anchor
 
-
-def _softmax(x: jnp.ndarray) -> jnp.ndarray:
-    x = x - jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x)
-    return e / jnp.sum(e, axis=-1, keepdims=True)

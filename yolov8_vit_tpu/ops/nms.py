@@ -64,17 +64,42 @@ def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
     return keep
 
 
+def _multilabel_candidates(boxes: jnp.ndarray, scores: jnp.ndarray):
+    """(N, 4) boxes + (N, C) scores -> per-(anchor, class) candidate pool
+    (N*C boxes/scores/labels), CLASS-major (anchor varies fastest).
+
+    EfficientNMS_TRT in its default (non-class-agnostic) mode treats every
+    (box, class) pair above the score threshold as a separate candidate
+    (`/root/reference/docs/YOLO_TensorRT_Technical.md:106-135`) — an anchor
+    with two classes above threshold yields two detections.  A per-anchor
+    argmax reduction (multi_label=False) silently drops the runner-up.
+
+    Class-major ordering pins the score-tie order (lowest pool index first
+    = lowest class, then lowest anchor) consistently with the Pallas
+    kernel's (class, anchor-row, lane) layout."""
+    n, c = scores.shape
+    flat_scores = scores.T.reshape(-1)
+    flat_labels = jnp.repeat(jnp.arange(c, dtype=jnp.int32), n)
+    flat_boxes = jnp.tile(boxes, (c, 1))
+    return flat_boxes, flat_scores, flat_labels
+
+
 def efficient_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                   iou_threshold: float = 0.65,
                   score_threshold: float = 0.25,
                   max_output: int = 100,
                   pre_topk: int = 512,
-                  class_aware: bool = True):
+                  class_aware: bool = True,
+                  multi_label: bool = True):
     """EfficientNMS_TRT-equivalent with static output shapes.
 
     Args:
       boxes:  (N, 4) xyxy in letterboxed coords.
       scores: (N, C) per-class scores (already sigmoided).
+      multi_label: plugin parity — every (anchor, class) pair above the
+        threshold is its own candidate; False reduces each anchor to its
+        argmax class first (cheaper, diverges when an anchor has two
+        classes above threshold).
     Returns:
       num_dets: () int32
       out_boxes: (max_output, 4), zero-padded
@@ -83,22 +108,29 @@ def efficient_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     Output order is score-descending, matching the plugin.
     """
     n, _ = scores.shape
-    per_anchor_score = jnp.max(scores, axis=-1)
-    per_anchor_label = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-    valid = per_anchor_score > score_threshold
+    if multi_label and class_aware:
+        pool_boxes, pool_scores, pool_labels = \
+            _multilabel_candidates(boxes, scores)
+    else:
+        pool_boxes = boxes
+        pool_scores = jnp.max(scores, axis=-1)
+        pool_labels = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    valid = pool_scores > score_threshold
 
-    k = min(pre_topk, n)
+    k = min(pre_topk, pool_scores.shape[0])
     cand_scores, cand_idx = jax.lax.top_k(
-        jnp.where(valid, per_anchor_score, -1.0), k)
-    cand_boxes = boxes[cand_idx]
-    cand_labels = per_anchor_label[cand_idx]
+        jnp.where(valid, pool_scores, -1.0), k)
+    cand_boxes = pool_boxes[cand_idx]
+    cand_labels = pool_labels[cand_idx]
     cand_valid = cand_scores > score_threshold
 
     if class_aware:
-        # standard per-class offset trick: boxes of different classes never
-        # overlap, so one agnostic pass == per-class NMS
+        # per-class offset trick: separate class bands so one agnostic pass
+        # == per-class NMS.  Stride 2*side (not side): boxes may have
+        # NEGATIVE coords (unclamped DFL decode), so a band must cover
+        # [-side+1, side-1] on each side of its center
         side = jnp.max(jnp.abs(cand_boxes)) + 1.0
-        offset = cand_labels.astype(cand_boxes.dtype)[:, None] * side
+        offset = cand_labels.astype(cand_boxes.dtype)[:, None] * (2.0 * side)
         iou = box_iou(cand_boxes + offset, cand_boxes + offset)
     else:
         iou = box_iou(cand_boxes, cand_boxes)
@@ -195,18 +227,84 @@ def _nms_argmax_kernel(side_ref, x1_ref, y1_ref, x2_ref, y2_ref,
     nd_ref[0, 0] = kept
 
 
+def _nms_argmax_kernel_ml(x1_ref, y1_ref, x2_ref, y2_ref, sc_ref, out_ref,
+                          nd_ref, scs, *, iou_threshold: float,
+                          score_threshold: float, max_output: int):
+    """Multi-label `_nms_argmax_kernel`: candidates are (class, anchor)
+    pairs held as per-class score PLANES (C, R, 128) over shared
+    anchor-level coordinates (R, 128).
+
+    Exact plugin class-aware semantics with no coordinate-offset trick:
+    suppression kills (iou > thr) entries in the SELECTED class's plane
+    only, and the expensive IoU arithmetic runs on the anchor grid once
+    per iteration — the C*x-sized ops are simple compares/selects."""
+    c, r, l = sc_ref.shape
+    outl = out_ref.shape[-1]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (c, r, l), 0)
+    flat = (k_iota * (r * l) +
+            jax.lax.broadcasted_iota(jnp.int32, (c, r, l), 1) * l +
+            jax.lax.broadcasted_iota(jnp.int32, (c, r, l), 2))
+    x1, y1 = x1_ref[...], y1_ref[...]
+    x2, y2 = x2_ref[...], y2_ref[...]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    out_slot = jax.lax.broadcasted_iota(jnp.int32, (1, outl), 1)
+    out_ref[...] = jnp.zeros((8, outl), jnp.float32)
+    out_ref[5:6, :] = jnp.full((1, outl), -1.0, jnp.float32)  # label pad
+    scs[...] = sc_ref[...]
+
+    def cond(carry):
+        kept, m = carry
+        return (m > score_threshold) & (kept < max_output)
+
+    def body(carry):
+        kept, m = carry
+        sel = scs[...] == m
+        i_sel = jnp.min(jnp.where(sel, flat, jnp.int32(2 ** 30)))
+        onehot3 = (flat == i_sel).astype(jnp.float32)
+        oh_anchor = jnp.sum(onehot3, axis=0)              # (r, l)
+        cx1 = jnp.sum(x1 * oh_anchor)
+        cy1 = jnp.sum(y1 * oh_anchor)
+        cx2 = jnp.sum(x2 * oh_anchor)
+        cy2 = jnp.sum(y2 * oh_anchor)
+        clab = jnp.sum(k_iota.astype(jnp.float32) * onehot3)
+        iw = jnp.maximum(jnp.minimum(x2, cx2) - jnp.maximum(x1, cx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, cy2) - jnp.maximum(y1, cy1), 0.0)
+        inter = iw * ih
+        c_area = jnp.maximum(cx2 - cx1, 0.0) * jnp.maximum(cy2 - cy1, 0.0)
+        iou = inter / jnp.maximum(area + c_area - inter, 1e-9)  # (r, l)
+        kill = ((iou > iou_threshold)[None, :, :] &
+                (k_iota == clab.astype(jnp.int32))) | (flat == i_sel)
+        scs[...] = jnp.where(kill, -1.0, scs[...])
+        slot = out_slot == kept
+        out_ref[0:1, :] = jnp.where(slot, cx1, out_ref[0:1, :])
+        out_ref[1:2, :] = jnp.where(slot, cy1, out_ref[1:2, :])
+        out_ref[2:3, :] = jnp.where(slot, cx2, out_ref[2:3, :])
+        out_ref[3:4, :] = jnp.where(slot, cy2, out_ref[3:4, :])
+        out_ref[4:5, :] = jnp.where(slot, m, out_ref[4:5, :])
+        out_ref[5:6, :] = jnp.where(slot, clab, out_ref[5:6, :])
+        return kept + 1, jnp.max(scs[...])
+
+    kept, _ = jax.lax.while_loop(cond, body,
+                                 (jnp.int32(0), jnp.max(scs[...])))
+    nd_ref[0, 0] = kept
+
+
 def efficient_nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                        iou_threshold: float = 0.65,
                        score_threshold: float = 0.25,
                        max_output: int = 100,
+                       multi_label: bool = True,
                        interpret: bool | None = None):
     """EfficientNMS with FULL-candidate greedy semantics (Pallas kernel).
 
-    Same contract as `efficient_nms`, but every anchor above the score
+    Same contract as `efficient_nms`, but every candidate above the score
     threshold participates in suppression (no pre_topk truncation), and the
     sequential part runs inside one Pallas program whose trip count is the
-    number of kept boxes (<= max_output) — no 8400-anchor sort, no output
-    top_k, no fixed 512-iteration scan.
+    number of kept boxes (<= max_output) — no anchor sort, no output
+    top_k, no fixed 512-iteration scan.  With multi_label (plugin parity)
+    the pool is every (anchor, class) pair, held as per-class score planes
+    over shared anchor coordinates (`_nms_argmax_kernel_ml`) so the IoU
+    arithmetic stays anchor-sized.
     """
     import functools
     from jax.experimental import pallas as pl
@@ -214,13 +312,41 @@ def efficient_nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, *,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n, _ = scores.shape
+    n, nc = scores.shape
     kp = -(-n // 128) * 128
     outl = -(-max_output // 128) * 128
+    fold = _fold_lanes
+
+    if multi_label:
+        sc_planes = jnp.stack([fold(scores[:, k], fill=-1.0)
+                               for k in range(nc)])
+        out, nd = pl.pallas_call(
+            functools.partial(_nms_argmax_kernel_ml,
+                              iou_threshold=iou_threshold,
+                              score_threshold=score_threshold,
+                              max_output=max_output),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(jax.ShapeDtypeStruct((8, outl), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+            scratch_shapes=[pltpu.VMEM((nc, kp // 128, 128), jnp.float32)],
+            interpret=interpret,
+        )(fold(boxes[:, 0]), fold(boxes[:, 1]), fold(boxes[:, 2]),
+          fold(boxes[:, 3]), sc_planes)
+        num_dets = nd[0, 0]
+        picked = jnp.arange(max_output) < num_dets
+        out_boxes = out[0:4, :max_output].T
+        out_scores = out[4, :max_output]
+        out_labels = jnp.where(picked,
+                               out[5, :max_output].astype(jnp.int32), -1)
+        return num_dets, out_boxes, out_scores, out_labels
+
     per_score = jnp.max(scores, axis=-1)
     per_label = jnp.argmax(scores, axis=-1).astype(jnp.float32)
-    fold = _fold_lanes
-    side = (jnp.max(jnp.abs(boxes)) + 1.0).reshape(1, 1)
+    # class-band stride 2*side: boxes may have negative coords (unclamped
+    # DFL decode), so each band must cover [-side+1, side-1]
+    side = (2.0 * (jnp.max(jnp.abs(boxes)) + 1.0)).reshape(1, 1)
     out, nd = pl.pallas_call(
         functools.partial(_nms_argmax_kernel, iou_threshold=iou_threshold,
                           score_threshold=score_threshold,

@@ -32,11 +32,27 @@ def quantize_weight(w: jnp.ndarray):
 
 
 def quantize_act(x: jnp.ndarray):
-    """(..., in) -> (int8, scale (..., 1)), per-row dynamic symmetric."""
+    """(..., in) -> (int8, scale (..., 1)), per-row dynamic symmetric.
+
+    Plain jnp ops, so this is also THE in-kernel quantization used by every
+    fused Pallas kernel (here and in ops/attention.py) — one definition of
+    the amax floor / clip constants keeps the kernels bit-identical to
+    `quant_dense_pre`."""
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     x_i8 = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return x_i8, scale
+
+
+def layernorm_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                  eps: float) -> jnp.ndarray:
+    """Row LayerNorm in f32 ((M, D) -> (M, D)); shared by the fused
+    kernels (quantization accuracy depends on normalizing BEFORE the
+    per-row quant, so LN and quant live together)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def quant_dense(x: jnp.ndarray, w: jnp.ndarray,
@@ -72,14 +88,10 @@ _BM = 256  # query-rows per fused-kernel program
 def _quant_matmul_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
     """Fused: per-row activation quantization (VMEM-resident, int8 never
     touches HBM) + int8 MXU matmul + rescale + bias."""
-    import jax.numpy as _jnp  # local alias for clarity inside the kernel
-    x = x_ref[...].astype(_jnp.float32)
-    amax = _jnp.max(_jnp.abs(x), axis=-1, keepdims=True)
-    s_x = _jnp.maximum(amax, 1e-8) / 127.0
-    x_i8 = _jnp.clip(_jnp.round(x / s_x), -127, 127).astype(_jnp.int8)
+    x_i8, s_x = quantize_act(x_ref[...].astype(jnp.float32))
     acc = jax.lax.dot_general(x_i8, w_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=_jnp.int32)
-    o_ref[...] = (acc.astype(_jnp.float32) * s_x * s_ref[...][None, :]
+                              preferred_element_type=jnp.int32)
+    o_ref[...] = (acc.astype(jnp.float32) * s_x * s_ref[...][None, :]
                   + b_ref[...][None, :]).astype(o_ref.dtype)
 
 
@@ -131,17 +143,12 @@ def _quant_mlp_kernel(h_ref, res_ref, w1_ref, s1_ref, b1_ref, w2_ref,
 
     GELU uses the tanh approximation (Mosaic lacks erfc); its ~1e-3
     relative deviation is far below the ~1e-2 quantization noise."""
-    h = h_ref[...].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) / 127.0
-    hi = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+    hi, sx = quantize_act(h_ref[...].astype(jnp.float32))
     a = jax.lax.dot_general(hi, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     a = a.astype(jnp.float32) * sx * s1_ref[...][None, :] + b1_ref[...][None, :]
     a = jax.nn.gelu(a, approximate=True)
-    amax2 = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
-    sh = jnp.maximum(amax2, 1e-8) / 127.0
-    ai = jnp.clip(jnp.round(a / sh), -127, 127).astype(jnp.int8)
+    ai, sh = quantize_act(a)
     y = jax.lax.dot_general(ai, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * sh * s2_ref[...][None, :] + b2_ref[...][None, :]
@@ -225,21 +232,13 @@ def _quant_mlp_ln_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     residual stream enters ONCE (x is both LN input and residual), removing
     a full (M, D) HBM round-trip per transformer block."""
     x = x_ref[...].astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    h = xc * jax.lax.rsqrt(var + ln_eps) * lns_ref[...][None, :] + \
-        lnb_ref[...][None, :]
-    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) / 127.0
-    hi = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+    h = layernorm_f32(x, lns_ref[...][None, :], lnb_ref[...][None, :], ln_eps)
+    hi, sx = quantize_act(h)
     a = jax.lax.dot_general(hi, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     a = a.astype(jnp.float32) * sx * s1_ref[...][None, :] + b1_ref[...][None, :]
     a = jax.nn.gelu(a, approximate=True)
-    amax2 = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
-    sh = jnp.maximum(amax2, 1e-8) / 127.0
-    ai = jnp.clip(jnp.round(a / sh), -127, 127).astype(jnp.int8)
+    ai, sh = quantize_act(a)
     y = jax.lax.dot_general(ai, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * sh * s2_ref[...][None, :] + b2_ref[...][None, :]

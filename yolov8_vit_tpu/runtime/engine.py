@@ -111,7 +111,9 @@ class Engine:
             self.params = flax.serialization.from_bytes(template, f.read())
         if device is not None:
             self.params = jax.device_put(self.params, device)
-        self._compiled: dict[tuple, Any] = {}
+        # one jit wrapper: jax caches per input shape/dtype itself, and the
+        # output selection (set_desired) is host-side, after the call
+        self._fn = jax.jit(self._forward)
 
     # ---- TRTModule API ----------------------------------------------------
     def set_desired(self, names: list[str]) -> None:
@@ -121,12 +123,7 @@ class Engine:
 
     def __call__(self, tensor):
         x = _maybe_nchw_to_nhwc(jnp.asarray(tensor))
-        key = (x.shape, str(x.dtype), tuple(self._desired))
-        fn = self._compiled.get(key)
-        if fn is None:
-            fn = jax.jit(self._forward)
-            self._compiled[key] = fn
-        outs = fn(self.params, x.astype(self.dtype))
+        outs = self._fn(self.params, x.astype(self.dtype))
         picked = tuple(outs[n] for n in self._desired)
         return picked if len(picked) > 1 else picked[0]
 

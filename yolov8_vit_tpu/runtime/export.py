@@ -161,7 +161,10 @@ def export_classify(args) -> str:
                                                 convert_vit_wrapper)
     from yolov8_vit_tpu.runtime.engine import save_engine
 
-    spec = ViTSpec(patch=16 if "patch16" in args.model else 8)
+    # full architecture from the timm model id (size/patch/depth/dims) —
+    # a patch-substring check silently built ViT-B for large/small models
+    from yolov8_vit_tpu.refapi import spec_from_timm_name
+    spec = spec_from_timm_name(args.model)
     if args.weights:
         params = convert_vit_wrapper(
             load_torch_state_dict(args.weights,
