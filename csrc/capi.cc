@@ -49,12 +49,9 @@ int mt_load_letterbox_batch(const char** paths, int n, int out_w, int out_h,
 void mt_crop_resize_nearest(const unsigned char* src, int src_w, int src_h,
                             int x1, int y1, int x2, int y2, int out_w,
                             int out_h, unsigned char* dst) {
-  mt::Image img;
-  img.width = src_w;
-  img.height = src_h;
-  img.channels = 3;
-  img.data.assign(src, src + size_t(src_w) * src_h * 3);
-  mt::CropResizeNearestU8(img, x1, y1, x2, y2, out_w, out_h, dst);
+  // borrowed view: no full-frame copy per crop (up to topk crops/frame)
+  mt::CropResizeNearestU8(src, src_w, src_h, x1, y1, x2, y2, out_w, out_h,
+                          dst);
 }
 
 }  // extern "C"

@@ -89,6 +89,49 @@ static Image DecodePpm(FILE* f) {
   return img;
 }
 
+static Image DecodeBmp(FILE* f) {
+  // uncompressed BI_RGB 24/32-bit BMP (the serving layer accepts .bmp
+  // uploads); BGR(A) rows, 4-byte padded, bottom-up unless height < 0
+  Image img;
+  uint8_t hdr[54];
+  if (fread(hdr, 1, 54, f) != 54) return img;
+  auto u32 = [&](int o) {
+    return uint32_t(hdr[o]) | uint32_t(hdr[o + 1]) << 8 |
+           uint32_t(hdr[o + 2]) << 16 | uint32_t(hdr[o + 3]) << 24;
+  };
+  auto u16 = [&](int o) {
+    return uint32_t(hdr[o]) | uint32_t(hdr[o + 1]) << 8;
+  };
+  const uint32_t data_off = u32(10);
+  const int32_t w = int32_t(u32(18));
+  const int32_t h_raw = int32_t(u32(22));
+  const int bpp = int(u16(28));
+  const uint32_t compression = u32(30);
+  if (w <= 0 || h_raw == 0 || (bpp != 24 && bpp != 32) || compression != 0)
+    return img;
+  const bool bottom_up = h_raw > 0;
+  const int h = bottom_up ? h_raw : -h_raw;
+  const int bytespp = bpp / 8;
+  const size_t stride = (size_t(w) * bytespp + 3) & ~size_t(3);
+  if (fseek(f, long(data_off), SEEK_SET) != 0) return img;
+  std::vector<uint8_t> row(stride);
+  img.width = w;
+  img.height = h;
+  img.channels = 3;
+  img.data.resize(size_t(w) * h * 3);
+  for (int y = 0; y < h; ++y) {
+    if (fread(row.data(), 1, stride, f) != stride) return Image{};
+    uint8_t* out =
+        img.data.data() + size_t(bottom_up ? h - 1 - y : y) * w * 3;
+    for (int x = 0; x < w; ++x) {  // BGR(A) -> RGB
+      out[x * 3 + 0] = row[x * bytespp + 2];
+      out[x * 3 + 1] = row[x * bytespp + 1];
+      out[x * 3 + 2] = row[x * bytespp + 0];
+    }
+  }
+  return img;
+}
+
 Image DecodeImageFile(const std::string& path) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return Image{};
@@ -102,6 +145,8 @@ Image DecodeImageFile(const std::string& path) {
     img = DecodePng(f);
   } else if (got >= 2 && magic[0] == 'P' && magic[1] == '6') {
     img = DecodePpm(f);
+  } else if (got >= 2 && magic[0] == 'B' && magic[1] == 'M') {
+    img = DecodeBmp(f);
   }
   fclose(f);
   return img;
@@ -149,8 +194,12 @@ LetterboxInfo LetterboxU8(const Image& src, int out_w, int out_h,
                           uint8_t pad_value, uint8_t* dst) {
   LetterboxInfo info;
   const float r = std::min(float(out_w) / src.width, float(out_h) / src.height);
-  const int new_w = int(std::lround(src.width * r));
-  const int new_h = int(std::lround(src.height * r));
+  // Python round() is half-to-even; lround (half away from zero) diverges
+  // by 1px on exact-.5 products, desyncing the geometry from
+  // ops/letterbox.py letterbox_params.  nearbyint honors the default
+  // FE_TONEAREST (ties-to-even) mode.
+  const int new_w = int(std::nearbyint(double(src.width) * r));
+  const int new_h = int(std::nearbyint(double(src.height) * r));
   info.ratio = r;
   info.dw = (out_w - new_w) / 2.f;
   info.dh = (out_h - new_h) / 2.f;
@@ -171,22 +220,29 @@ LetterboxInfo LetterboxU8(const Image& src, int out_w, int out_h,
   return info;
 }
 
-void CropResizeNearestU8(const Image& src, int x1, int y1, int x2, int y2,
+void CropResizeNearestU8(const uint8_t* src, int width, int height,
+                         int x1, int y1, int x2, int y2,
                          int out_w, int out_h, uint8_t* dst) {
-  x1 = std::clamp(x1, 0, src.width - 1);
-  y1 = std::clamp(y1, 0, src.height - 1);
-  x2 = std::clamp(std::max(x2, x1 + 1), 1, src.width);
-  y2 = std::clamp(std::max(y2, y1 + 1), 1, src.height);
+  x1 = std::clamp(x1, 0, width - 1);
+  y1 = std::clamp(y1, 0, height - 1);
+  x2 = std::clamp(std::max(x2, x1 + 1), 1, width);
+  y2 = std::clamp(std::max(y2, y1 + 1), 1, height);
   const int64_t bw = x2 - x1, bh = y2 - y1;
   for (int y = 0; y < out_h; ++y) {
     const int sy = y1 + int(std::min<int64_t>(int64_t(y) * bh / out_h, bh - 1));
-    const uint8_t* row = src.data.data() + size_t(sy) * src.width * 3;
+    const uint8_t* row = src + size_t(sy) * width * 3;
     uint8_t* out = dst + size_t(y) * out_w * 3;
     for (int x = 0; x < out_w; ++x) {
       const int sx = x1 + int(std::min<int64_t>(int64_t(x) * bw / out_w, bw - 1));
       std::memcpy(out + x * 3, row + sx * 3, 3);
     }
   }
+}
+
+void CropResizeNearestU8(const Image& src, int x1, int y1, int x2, int y2,
+                         int out_w, int out_h, uint8_t* dst) {
+  CropResizeNearestU8(src.data.data(), src.width, src.height, x1, y1, x2, y2,
+                      out_w, out_h, dst);
 }
 
 int LoadLetterboxBatch(const std::vector<std::string>& paths, int out_w,

@@ -40,6 +40,10 @@ LetterboxInfo LetterboxU8(const Image& src, int out_w, int out_h,
 
 // Nearest crop-resize: exact-rational source mapping (ops/crop.py contract).
 // Box is integer xyxy clamped to the image. dst is out_h*out_w*3.
+// The raw-pointer form reads a borrowed HWC u8 view (no frame copy).
+void CropResizeNearestU8(const uint8_t* src, int width, int height,
+                         int x1, int y1, int x2, int y2,
+                         int out_w, int out_h, uint8_t* dst);
 void CropResizeNearestU8(const Image& src, int x1, int y1, int x2, int y2,
                          int out_w, int out_h, uint8_t* dst);
 

@@ -85,3 +85,30 @@ def test_crop_resize_matches_golden(png):
     sx = np.minimum(np.arange(224) * bw // 224, bw - 1)
     sy = np.minimum(np.arange(224) * bh // 224, bh - 1)
     np.testing.assert_array_equal(ours, crop[sy[:, None], sx[None, :]])
+
+
+def test_decode_bmp_exact(tmp_path):
+    """Uncompressed 24-bit BMP (serving accepts .bmp uploads) decodes
+    bit-exactly; width forces 4-byte row padding."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)   # 53*3 % 4 != 0
+    path = str(tmp_path / "c.bmp")
+    cv2.imwrite(path, img[..., ::-1])   # cv2 writes BGR
+    ours = native.decode_image(path)
+    np.testing.assert_array_equal(ours, img)
+
+
+def test_letterbox_rounding_matches_python(tmp_path):
+    """Half-to-even rounding of new_w/new_h: 1277*0.5 = 638.5 must round
+    like Python round() (638), not lround (639)."""
+    from yolov8_vit_tpu.ops.letterbox import letterbox_params
+    img = np.full((1277, 1280, 3), 90, np.uint8)
+    path = str(tmp_path / "r.png")
+    cv2.imwrite(path, img)
+    batch, geom, ok = native.load_letterbox_batch([path], (640, 640))
+    assert ok[0]
+    _nh, _nw, ratio, dw, dh, _top, _left = letterbox_params((1277, 1280),
+                                                            (640, 640))
+    assert geom[0, 0] == pytest.approx(ratio)
+    assert geom[0, 1] == pytest.approx(dw)
+    assert geom[0, 2] == pytest.approx(dh)

@@ -92,3 +92,32 @@ def test_dp_training_step_matches_single_device():
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_eval_handles_partial_tail_batch():
+    """valid loaders yield a non-divisible tail batch (no drop_last);
+    mesh-mode eval must not crash on the 8-way data axis (regression:
+    the data-sharded jit required batch % 8 == 0)."""
+    import numpy as np
+    from yolov8_vit_tpu.config import CFG
+    from yolov8_vit_tpu.models.vit import ViTSpec
+    from yolov8_vit_tpu.train.vit_train import ViTTrainer
+
+    mesh = make_mesh(n_data=8)
+    spec = ViTSpec(img_size=16, patch=8, dim=32, depth=1, heads=2,
+                   backbone_classes=8)
+    tr = ViTTrainer(cfg=CFG(train_bs=8, epoch=1), spec=spec, mesh=mesh)
+    params, opt_state = tr.init()
+    rng = np.random.default_rng(0)
+
+    def loader(sizes):
+        for b in sizes:
+            yield (rng.normal(size=(b, 16, 16, 3)).astype(np.float32),
+                   np.eye(5, dtype=np.float32)[rng.integers(0, 5, b)])
+
+    acc, loss, conf = tr.valid_one_epoch(params, loader([8, 5]))
+    assert conf.sum() == 13 and np.isfinite(loss)
+    # train path with a tail batch (robustness for drop_last=False loaders)
+    params, opt_state, loss, acc = tr.train_one_epoch(
+        params, opt_state, loader([8, 3]), epoch0=0)
+    assert np.isfinite(loss)

@@ -217,3 +217,70 @@ def test_download_rejects_path_traversal(tmp_path):
         assert not os.path.exists(tmp_path / "evil.jpg")
     finally:
         srv.shutdown()
+
+
+def test_map_geocoded_center_not_swapped(tmp_path):
+    """Geocoder returns "lng,lat" (AMap contract); markers must carry a
+    valid latitude (regression: the geocode branch transposed lat/lng
+    relative to the default-center path)."""
+    import re as _re
+    svc = InspectionService(
+        workdir=str(tmp_path),
+        geocode_fn=lambda loc: ("somewhere", "116.40,39.90"))
+    page = svc.route_map({"location": "beijing"})
+    lats = [float(v) for v in _re.findall(r'"lat":\s*([-\d.]+)', page)]
+    assert lats and all(-90 <= v <= 90 for v in lats)
+
+
+def test_train_now_plumbs_config_epochs(tmp_path):
+    """class_config.epoch from the service config must reach the retrain
+    run (regression: the knob only fed the guard counter)."""
+    seen = {}
+
+    def retrain_fn(log, epochs=None):
+        seen["epochs"] = epochs
+
+    svc = InspectionService(workdir=str(tmp_path), retrain_fn=retrain_fn)
+    cfg = svc.config.read()
+    cfg["class_config"] = {"epoch": 37}
+    svc.config.write(cfg)
+    svc.route_train_now()
+    for _ in range(100):
+        if "epochs" in seen:
+            break
+        time.sleep(0.05)
+    assert seen.get("epochs") == 37
+
+
+def test_download_rfc5987_filename(tmp_path):
+    """`filename*=` (RFC 5987) headers must be honored end-to-end
+    (regression: the regex applied *? to the letter 'e', so these headers
+    always fell through to the timestamp fallback name)."""
+    import http.server
+    from yolov8_vit_tpu.serve.downloads import download_images
+
+    ok, img = cv2.imencode(".jpg", np.zeros((8, 8, 3), np.uint8))
+    assert ok
+    payload = img.tobytes()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Disposition",
+                             "attachment; filename*=UTF-8''photo.jpg")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        path = download_images(f"http://127.0.0.1:{port}/", str(tmp_path), 1)
+        assert path and os.path.basename(path) == "photo.jpg"
+    finally:
+        srv.shutdown()

@@ -57,6 +57,24 @@ def test_split_by_circle(tmp_path):
     assert all(o["objects"]["label"] == 4 for o in cir)
 
 
+def test_split_by_circle_drops_unknown_labels(tmp_path, capsys):
+    """Objects with unmapped class names (parse_voc_xml label -1) must be
+    filtered (regression: -1 one-hot encoded as the LAST class via numpy
+    negative indexing and silently mistrained)."""
+    d = str(tmp_path / "train_xml")
+    _make_dataset(d)
+    arr = np.full((80, 100, 3), 110, np.uint8)
+    Image.fromarray(arr).save(os.path.join(d, "weird.jpg"))
+    generate_annotation("", "weird.jpg", "weird.jpg",
+                        [{"sort": "Bogus", "xmin": 1, "ymin": 1,
+                          "xmax": 40, "ymax": 40}],
+                        save_dir=d, image_size=(100, 80))
+    obj, cir = split_by_circle([d], random.Random(0))
+    assert len(obj) == 12 and len(cir) == 6      # the Bogus object is gone
+    assert all(0 <= o["objects"]["label"] <= 4 for o in obj + cir)
+    assert "skipped 1" in capsys.readouterr().out
+
+
 def test_crop_record_train_vs_eval(tmp_path):
     d = str(tmp_path / "train_xml")
     _make_dataset(d, n_per_class=1, classes=("good",))

@@ -120,7 +120,7 @@ class InspectionService:
                 pass
             _num, due = self.config.bump_and_check()
             if due and self.retrain_fn is not None:
-                self.retrain_fn(False)
+                self._call_retrain(False)
 
         threading.Thread(target=syc_retrain, daemon=True).start()
         return {"url": self.oss.getUrl("FuChuang/" + basename)}
@@ -130,18 +130,19 @@ class InspectionService:
         (reference `/root/reference/app.py:106-142`: folium markers with
         per-class icons + TagFilterButton around 100 sampled points)."""
         location = query.get("location", "")
-        lo, la = 39.9, 116.4   # default center
+        lat, lng = 39.9, 116.4   # default center (Beijing)
         if location and self.geocode_fn:
-            _, lalo = self.geocode_fn(location)
-            if lalo:
-                la_s, lo_s = lalo.split(",")
-                la, lo = float(lo_s), float(la_s)
+            _, lnglat = self.geocode_fn(location)
+            if lnglat:
+                # geocoder returns "lng,lat" (AMap contract)
+                lng_s, lat_s = lnglat.split(",")
+                lat, lng = float(lat_s), float(lng_s)
         rng = random.Random(0)
         markers = [
-            {"lat": lo + rng.gauss(0, 0.5), "lng": la + rng.gauss(0, 0.5),
+            {"lat": lat + rng.gauss(0, 0.5), "lng": lng + rng.gauss(0, 0.5),
              "cls": rng.choice(CLASS_NAMES)}
             for _ in range(100)]
-        return map_page(markers, (lo, la), location)
+        return map_page(markers, (lat, lng), location)
 
     def route_heatmap(self) -> str:
         """GET /heatmap — density page (reference `templates/map.html` +
@@ -158,18 +159,18 @@ class InspectionService:
     def route_train_now(self):
         """POST/GET /trainNow — reference :167-190 semantics incl. the
         'already running' guard."""
-        cfg = self.config.read()
-        cfg["num"] = 0
+        # atomic counter reset (a separate read()+write() pair would
+        # silently overwrite concurrent /getConfig updates)
+        cfg = self.config.update(num=0)
         with self._train_lock:
             if self.training_epochs_left > 0:
                 return {"state": "模型正在运行"}
             self.training_epochs_left = cfg.get(
                 "class_config", {}).get("epoch", 10)
-        self.config.write(cfg)
         if self.retrain_fn is not None:
             def run():
                 try:
-                    self.retrain_fn(True)
+                    self._call_retrain(True)
                 finally:
                     with self._train_lock:
                         self.training_epochs_left = 0
@@ -178,6 +179,18 @@ class InspectionService:
             with self._train_lock:
                 self.training_epochs_left = 0
         return {"state": "启动成功"}
+
+    def _call_retrain(self, log: bool) -> None:
+        """Invoke retrain_fn, forwarding the service config's
+        class_config.epoch so the /getConfig knob actually reaches the
+        training run (retrain_fns that take only `log` still work)."""
+        import inspect
+        epochs = self.config.read().get("class_config", {}).get("epoch")
+        params = inspect.signature(self.retrain_fn).parameters
+        if "epochs" in params:
+            self.retrain_fn(log, epochs=epochs)
+        else:
+            self.retrain_fn(log)
 
     def _chart_stream(self):
         """SSE generator: real metrics from result.json if present, else the
@@ -317,14 +330,20 @@ def build_default_service(workdir: str = ".",
 
     retrain_fn = None
     if enable_retrain:
-        def retrain_fn(log):
+        def retrain_fn(log, epochs=None):
+            import dataclasses as _dc
+            from yolov8_vit_tpu.config import CFG
             from yolov8_vit_tpu.train.classify import retrain
 
             def sse_log(msg):
                 print(msg)
                 HUB.publish({"message": str(msg)}, type_="log")
 
-            retrain(log=log, workdir=workdir, log_fn=sse_log)
+            # class_config.epoch from the service config drives the run
+            # (the /getConfig knob; reference `/root/reference/app.py:169-189`)
+            cfg = CFG() if not epochs else _dc.replace(CFG(),
+                                                       epoch=int(epochs))
+            retrain(log=log, cfg=cfg, workdir=workdir, log_fn=sse_log)
 
     from yolov8_vit_tpu.serve.geocode import location2lalo
     return InspectionService(workdir=workdir, runner=runner,

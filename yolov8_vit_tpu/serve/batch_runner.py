@@ -122,13 +122,23 @@ class BatchRunner:
             for start in range(0, len(idxs), self.max_batch):
                 chunk = idxs[start:start + self.max_batch]
                 batch = np.stack([imgs[i] for i in chunk])
+                if len(chunk) < self.max_batch:
+                    # pad the tail chunk to the full batch so each distinct
+                    # (H, W) compiles ONE executable — a fresh compile per
+                    # remainder size would stall serving requests (the
+                    # padded rows are sliced off in _unpack below)
+                    pad = self.max_batch - len(chunk)
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad, *batch.shape[1:]),
+                                         batch.dtype)])
                 pending.append((chunk, self._fn(self.params,
                                                 jnp.asarray(batch))))
         t2 = time.perf_counter()
         for chunk, dev in pending:
             packed = np.asarray(dev)
-            for j, rec in enumerate(self._unpack(packed)):
-                results[chunk[j]] = rec
+            # zip drops the padded tail rows (chunk is the source of truth)
+            for idx, rec in zip(chunk, self._unpack(packed)):
+                results[idx] = rec
         t3 = time.perf_counter()
         if profile is not None:
             profile["decode_ms"] = profile.get("decode_ms", 0.0) + \

@@ -50,7 +50,12 @@ def download_images(url: str, save_folder: str, save_flag: bool | int = True):
     if not image_filename:
         cd = response.headers.get("content-disposition")
         if cd:
-            fname = re.findall("filename*?=([^;]+)", cd, flags=re.IGNORECASE)
+            # matches both `filename=` and RFC 5987 `filename*=`
+            # (whose value carries a charset prefix: UTF-8''name.jpg)
+            fname = re.findall(r"filename\*?=([^;]+)", cd,
+                               flags=re.IGNORECASE)
+            if fname and "''" in fname[0]:
+                fname[0] = fname[0].split("''", 1)[1]
             if fname:
                 image_filename = fname[0].strip("\"' ")
     # URL and Content-Disposition are attacker-controlled: keep only the

@@ -33,13 +33,23 @@ def split_by_circle(dirs: Sequence[str], rng: random.Random | None = None,
     """Scan XML dirs -> (objects, objects_circle) flat per-object records."""
     rng = rng or random
     objects, circle = [], []
+    n_bad = 0
     for rec in scan_xml_dirs(dirs):
         if os.path.basename(rec["path"]) in skip_names:
             continue
         for obj in rec["objects"]:
+            if not 0 <= obj["label"] <= 4:
+                # unknown class name (parse_voc_xml returns -1): without
+                # this filter the -1 one-hots as the LAST class via numpy
+                # negative indexing and silently mistrains
+                n_bad += 1
+                continue
             row = {"path": rec["path"], "objects": obj, "name": rec["name"],
                    "width": rec["width"], "height": rec["height"]}
             (circle if obj["label"] == 4 else objects).append(row)
+    if n_bad:
+        print(f"split_by_circle: skipped {n_bad} objects with unknown "
+              "class labels")
     rng.shuffle(objects)
     rng.shuffle(circle)
     return objects, circle

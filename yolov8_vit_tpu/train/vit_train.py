@@ -98,6 +98,12 @@ class ViTTrainer:
         self.optimizer = make_optimizer(self.cfg)
         step = make_train_step(self.model, self.optimizer)
         estep = make_eval_step(self.model, self.cfg.num_classes)
+        # replicated fallbacks: batch-sharded jits require the batch dim
+        # divisible by the data axis, but the valid loader (and a train
+        # loader without drop_last) can yield a partial tail batch — run
+        # those replicated (identical math, once per epoch)
+        self._step_rep = jax.jit(step)
+        self._estep_rep = jax.jit(estep)
         if self.mesh is not None:
             data = NamedSharding(self.mesh, P("data"))
             rep = NamedSharding(self.mesh, P())
@@ -107,8 +113,11 @@ class ViTTrainer:
             self._estep = jax.jit(estep, in_shardings=(rep, data, data),
                                   out_shardings=(rep, rep, rep))
         else:
-            self._step = jax.jit(step)
-            self._estep = jax.jit(estep)
+            self._step = self._step_rep
+            self._estep = self._estep_rep
+
+    def _data_axis(self) -> int:
+        return self.mesh.shape.get("data", 1) if self.mesh is not None else 1
 
     def init(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -125,7 +134,9 @@ class ViTTrainer:
         loss_sum = 0.0
         n_steps = 0
         for imgs, onehot in loader:
-            params, opt_state, loss, c = self._step(
+            fn = (self._step if imgs.shape[0] % self._data_axis() == 0
+                  else self._step_rep)
+            params, opt_state, loss, c = fn(
                 params, opt_state, jnp.asarray(imgs), jnp.asarray(onehot),
                 jnp.float32(lr))
             bs = imgs.shape[0]
@@ -142,8 +153,9 @@ class ViTTrainer:
         n_steps = 0
         conf = np.zeros((self.cfg.num_classes, self.cfg.num_classes), np.int64)
         for imgs, onehot in loader:
-            loss, c, cm = self._estep(params, jnp.asarray(imgs),
-                                      jnp.asarray(onehot))
+            fn = (self._estep if imgs.shape[0] % self._data_axis() == 0
+                  else self._estep_rep)
+            loss, c, cm = fn(params, jnp.asarray(imgs), jnp.asarray(onehot))
             total += imgs.shape[0]
             correct += int(c)
             loss_sum += float(loss)
