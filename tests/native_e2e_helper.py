@@ -94,7 +94,7 @@ def main(workdir: str, plugin: str, driver: str) -> int:
         [driver, "--plugin", plugin, "--axon", "--module", prefix + ".mlir",
          "--compile-options", prefix + ".opts.pb", "--image", png,
          "--imgsz", str(size), "--dump-prefix", dump],
-        capture_output=True, text=True, timeout=560, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     sys.stderr.write(run.stdout + run.stderr)
     if run.returncode != 0:
         print("DRIVER_FAILED")

@@ -99,7 +99,7 @@ def test_driver_executes_end_to_end(tmp_path):
     run = subprocess.run(
         ["python", os.path.join(REPO, "tests", "native_e2e_helper.py"),
          str(tmp_path), AXON_PLUGIN, DRIVER],
-        capture_output=True, text=True, timeout=1100, env=env)
+        capture_output=True, text=True, timeout=1800, env=env)
     assert "E2E_MATCH" in run.stdout, (
         f"stdout:\n{run.stdout}\nstderr:\n{run.stderr[-2000:]}")
 
