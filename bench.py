@@ -30,17 +30,6 @@ def _emit(metric, value, unit, vs_baseline, **extra) -> None:
                       "extra": extra}))
 
 
-def _barrier_factory(jax, jnp):
-    """Completion barrier: on the tunneled axon platform block_until_ready
-    is unreliable, so materialize a tiny scalar reduction — the device
-    executes enqueued programs in order, so a 4-byte fetch of the LAST
-    step's output waits for the whole loop."""
-    red = jax.jit(lambda o: jax.tree.reduce(
-        lambda a, b: a + b,
-        jax.tree.map(lambda x: jnp.sum(x).astype(jnp.float32), o)))
-    return lambda out: float(red(out))
-
-
 def _timed(fn, args, iters, barrier):
     out = fn(*args)
     barrier(out)
@@ -99,9 +88,15 @@ def main() -> None:
     from yolov8_vit_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    barrier = _barrier_factory(jax, jnp)
+    # completion barrier: on the tunneled axon platform block_until_ready
+    # is a no-op, so fetch a tiny scalar reduction of the LAST step's
+    # output (the device executes enqueued programs in order)
+    from yolov8_vit_tpu.utils.profiling import device_barrier as barrier
     rng = np.random.default_rng(0)
-    n_chips = jax.device_count()
+    # every mode jits an UNSHARDED graph (single-device execution), so
+    # img/s/chip == measured throughput regardless of visible device count
+    # (dividing by device_count under-reported 8x in --smoke's virtual mesh)
+    n_chips = 1
     device = str(jax.devices()[0])
     vit_tag = args.vit + ("-int8" if args.quant else "")
 
@@ -175,6 +170,7 @@ def main() -> None:
         # serve: host decode (native lib if built) + bucketed device
         # pipeline over a STREAM of files (chunks enqueue before any result
         # fetch, so decode/compute/transfer overlap)
+        import shutil
         import tempfile
         import cv2
         from yolov8_vit_tpu.serve.batch_runner import BatchRunner
@@ -203,6 +199,7 @@ def main() -> None:
                                    profile=prof)
             n_ok += sum(r is not None for r in res)
         dt = time.perf_counter() - t0
+        shutil.rmtree(tmp, ignore_errors=True)
         assert n_ok == batch * loops, \
             f"serve bench dropped {batch * loops - n_ok} images"
         v = batch * loops / dt / n_chips
@@ -251,9 +248,6 @@ def main() -> None:
         s = vit_spec.img_size
         params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                      jnp.zeros((1, s, s, 3), dtype))
-        if vit_spec.quant == "w8":
-            from yolov8_vit_tpu.ops.quant import prequantize_tree
-            params = prequantize_tree(params)
         x = jnp.asarray(rng.random((batch, s, s, 3)), dtype)
         fn = jax.jit(model.apply)
         dt = _timed(fn, (params, x), iters, barrier)
@@ -279,8 +273,8 @@ def main() -> None:
         opt_state = tx.init(params)
         step = jax.jit(make_train_step(model, tx))
         imgs = jnp.asarray(rng.normal(size=(batch, s, s, 3)), jnp.float32)
-        onehot = jnp.asarray(np.eye(5, dtype=np.float32)[
-            rng.integers(0, 5, batch)])
+        onehot = jnp.asarray(np.eye(cfg.num_classes, dtype=np.float32)[
+            rng.integers(0, cfg.num_classes, batch)])
 
         def fn(params, opt_state):
             p, o, loss, c = step(params, opt_state, imgs, onehot,

@@ -187,9 +187,10 @@ def test_negative_coords_no_cross_class_suppression():
         np.testing.assert_array_equal(np.asarray(got[3]), ref[3])
 
 
-def test_dense_multilabel_parity():
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_dense_multilabel_parity(seed):
     """Dense scene where many anchors carry 2-3 classes above threshold."""
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     n = 1024
     centers = rng.normal(320, 80, (n, 2))
     wh = rng.uniform(20, 160, (n, 2))

@@ -48,6 +48,14 @@ def main():
             continue
         name = files[0]
         path = os.path.join(INBOX, name)
+        # skip very fresh files: a writer may still be streaming the
+        # snippet (non-atomic writes would exec a truncated prefix)
+        try:
+            if time.time() - os.path.getmtime(path) < 0.6:
+                time.sleep(0.3)
+                continue
+        except OSError:
+            continue
         with open(path) as f:
             src = f.read()
         done = os.path.join(OUTBOX, "..", "done")
@@ -60,6 +68,11 @@ def main():
         try:
             exec(compile(src, name, "exec"), G)
             status = "OK"
+        except SystemExit as e:
+            # snippets pasted from scripts end with sys.exit(...): report
+            # it instead of killing the server (and the ~2 min handshake)
+            print(f"[snippet called sys.exit({e.code})]", file=buf)
+            status = "OK" if not e.code else "ERROR"
         except Exception:
             traceback.print_exc(file=buf)
             status = "ERROR"

@@ -19,17 +19,14 @@ import jax.numpy as jnp
 
 def bench_fn(fn, args, iters=20, warmup=2):
     """Honest timing over the tunnel: enqueue iters, fetch one scalar."""
-    reduce_out = jax.jit(
-        lambda o: jax.tree.reduce(
-            lambda a, b: a + b,
-            jax.tree.map(lambda x: jnp.sum(x).astype(jnp.float32), o)))
+    from yolov8_vit_tpu.utils.profiling import device_barrier
     for _ in range(warmup):
         out = fn(*args)
-    float(reduce_out(out))
+    device_barrier(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(reduce_out(out))
+    device_barrier(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -52,26 +49,40 @@ def main():
     rng = np.random.default_rng(0)
     report = []
 
-    # --- detector (yolov8s 640, bf16) ---
+    # --- detector (yolov8s 640, bf16, PRODUCTION config: s2d cell stem
+    # fed by the s2d-emitting letterbox) ---
+    from yolov8_vit_tpu.ops.letterbox import letterbox_s2d
+    from yolov8_vit_tpu.ops import blob as _blob
     cfg = DetectConfig(variant="s")
     spec = dataclasses.replace(YOLOV8_VARIANTS["s"], num_classes=5)
-    det = YOLOv8(spec, fused=True)
-    x = jnp.asarray(rng.random((b, 640, 640, 3)), jnp.bfloat16)
-    params = jax.jit(det.init)(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 640, 640, 3), jnp.bfloat16))
-    f = jax.jit(lambda p, x: det.apply(p, x))
-    dt = bench_fn(f, (params, x), args.iters)
-    report.append(("yolov8s_fwd", dt, 2 * 14.3e9 * b))  # ~28.6 GFLOPs/img
+    det = YOLOv8(spec, fused=True, stem_s2d=True, cell_region=True)
+    imgs640 = jnp.asarray(rng.integers(0, 256, (b, 640, 640, 3),
+                                       dtype=np.uint8))
+    cells0 = _blob(letterbox_s2d(imgs640, (640, 640), pad_value=114,
+                                 dtype=jnp.bfloat16)[0]).astype(jnp.bfloat16)
+    params = jax.jit(det.init)(jax.random.PRNGKey(0), cells0)
 
-    # --- detector + decode + NMS ---
-    f2 = jax.jit(lambda p, x: decode_predictions(det.apply(p, x), cfg))
-    dt2 = bench_fn(f2, (params, x), args.iters)
-    report.append(("yolov8s_fwd+nms", dt2, 2 * 14.3e9 * b))
+    def f(p, im):
+        cells = _blob(letterbox_s2d(im, (640, 640), pad_value=114,
+                                    dtype=jnp.bfloat16)[0]).astype(jnp.bfloat16)
+        return det.apply(p, cells)
 
-    # --- ViT variants ---
+    f = jax.jit(f)
+    dt = bench_fn(f, (params, imgs640), args.iters)
+    report.append(("lb+yolov8s_fwd", dt, 2 * 14.3e9 * b))  # ~28.6 GFLOPs/img
+
+    # --- detector + decode + NMS (scan kernel, the production path) ---
+    f2 = jax.jit(lambda p, im: decode_predictions(f.__wrapped__(p, im), cfg))
+    dt2 = bench_fn(f2, (params, imgs640), args.iters)
+    report.append(("lb+yolov8s_fwd+nms", dt2, 2 * 14.3e9 * b))
+
+    # --- ViT variants (PRODUCTION config: fused int8 attention + int8
+    # MLP with fused LN, plus the plain bf16/XLA path for comparison) ---
     for name, vs, gflops in [
-        ("vit_b8_224", ViTSpec(), 156.0),
-        ("vit_b16_224", ViTSpec(patch=16), 35.2),
+        ("vit_b16_int8", ViTSpec(patch=16, quant="w8a", attn_impl="fused"),
+         35.2),
+        ("vit_b8_int8", ViTSpec(quant="w8a", attn_impl="fused"), 156.0),
+        ("vit_b16_bf16_xla", ViTSpec(patch=16), 35.2),
     ]:
         model = ViTClassifier(vs, 5, dtype=jnp.bfloat16)
         xv = jnp.asarray(rng.random((b * 4, 224, 224, 3)), jnp.bfloat16)
@@ -81,12 +92,16 @@ def main():
         dtv = bench_fn(fv, (pv, xv), args.iters)
         report.append((f"{name}_x{b*4}crops", dtv, gflops * 1e9 * b * 4))
 
-    # --- NMS alone ---
+    # --- NMS alone (scan kernel = production; masked = legacy) ---
+    from yolov8_vit_tpu.ops.nms import efficient_nms_scan
     boxes = jnp.asarray(rng.random((b, 8400, 4)) * 640, jnp.float32)
     scores = jnp.asarray(rng.random((b, 8400, 5)) * 0.5, jnp.float32)
+    fn_scan = jax.jit(jax.vmap(lambda bb, ss: efficient_nms_scan(bb, ss)))
+    dtn = bench_fn(fn_scan, (boxes, scores), args.iters)
+    report.append(("nms_scan_8400x5", dtn, 0))
     fn_nms = jax.jit(jax.vmap(lambda bb, ss: efficient_nms(bb, ss)))
     dtn = bench_fn(fn_nms, (boxes, scores), args.iters)
-    report.append(("efficient_nms_8400", dtn, 0))
+    report.append(("nms_masked_8400(legacy)", dtn, 0))
 
     # --- letterbox + crop ---
     imgs = jnp.asarray(rng.integers(0, 256, (b, 720, 1280, 3), dtype=np.uint8))
@@ -99,7 +114,7 @@ def main():
     img1 = imgs[0]
     fc = jax.jit(lambda im, bb: crop_and_resize_nearest(im, bb, (224, 224)))
     dtc = bench_fn(fc, (img1, bxs), args.iters)
-    report.append(("crop32_224", dtc, 0))
+    report.append((f"crop{b*4}_224", dtc, 0))
 
     print(f"batch={b} device={jax.devices()[0]}")
     for name, dt, flops in report:
