@@ -138,6 +138,46 @@ def main() -> int:
           f"{int(jnp.sum(k_scan))} exact={same}", flush=True)
     ok &= same
 
+    # 5. FULL two-stage pipeline (tiny config) compiled on the chip vs the
+    #    SAME graph on the in-process CPU backend: end-to-end hardware
+    #    numerics across letterbox, detector, decode, both NMS kernels,
+    #    crop compaction, and the classifier
+    from yolov8_vit_tpu.config import DetectConfig
+    from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
+    from yolov8_vit_tpu.models.vit import ViTSpec
+
+    # near-zero thresholds: random-init logits sit at the head's class
+    # priors (~1e-2 sigmoid), so production thresholds would keep nothing
+    # and the comparison would be trivially equal
+    pipe = TwoStagePipeline(
+        det_cfg=DetectConfig(input_size=(64, 64), variant="n",
+                             nms_pre_topk=64, nms_topk=16,
+                             nms_conf=1e-3, conf_second=1e-3),
+        vit_spec=ViTSpec(img_size=32, patch=8, dim=64, depth=2, heads=4,
+                         backbone_classes=40),
+        classify_budget=2, dtype=jnp.float32)
+    params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 48, 80, 3), dtype=np.uint8))
+    tpu_out = jax.tree.map(np.asarray, jax.jit(pipe.__call__)(params, imgs))
+    # the kernels pick interpret mode from jax.default_backend(), which is
+    # "tpu" in this process — patch it for the CPU-reference trace so the
+    # Pallas calls lower as interpreted ops there
+    from unittest import mock
+    with mock.patch.object(jax, "default_backend", lambda: "cpu"):
+        cpu_out = jax.tree.map(np.asarray, jax.jit(
+            pipe.__call__, backend="cpu")(
+                jax.device_put(params, jax.devices("cpu")[0]),
+                jax.device_put(imgs, jax.devices("cpu")[0])))
+    same = (np.array_equal(tpu_out["num_dets"], cpu_out["num_dets"])
+            and np.array_equal(tpu_out["det_labels"], cpu_out["det_labels"])
+            and np.array_equal(tpu_out["final_valid"],
+                               cpu_out["final_valid"])
+            and np.allclose(tpu_out["boxes"], cpu_out["boxes"],
+                            rtol=1e-3, atol=1e-2))
+    print(f"two_stage tpu-vs-cpu: num={tpu_out['num_dets'].tolist()} "
+          f"exact_kept={same}", flush=True)
+    ok &= same
+
     if ok:
         print("KERNELS_MATCH")
         return 0
