@@ -104,13 +104,19 @@ static Image DecodeBmp(FILE* f) {
   };
   const uint32_t data_off = u32(10);
   const int32_t w = int32_t(u32(18));
-  const int32_t h_raw = int32_t(u32(22));
+  const int64_t h_raw = int64_t(int32_t(u32(22)));  // int64: -INT32_MIN is UB
   const int bpp = int(u16(28));
   const uint32_t compression = u32(30);
   if (w <= 0 || h_raw == 0 || (bpp != 24 && bpp != 32) || compression != 0)
     return img;
   const bool bottom_up = h_raw > 0;
-  const int h = bottom_up ? h_raw : -h_raw;
+  const int64_t h64 = bottom_up ? h_raw : -h_raw;
+  // bound the allocation: header fields are attacker-controlled (serving
+  // accepts uploads), and resize() would otherwise commit w*h*3 bytes
+  // before any pixel data is read
+  if (w > (1 << 15) || h64 > (1 << 15) || int64_t(w) * h64 > (64 << 20))
+    return img;
+  const int h = int(h64);
   const int bytespp = bpp / 8;
   const size_t stride = (size_t(w) * bytespp + 3) & ~size_t(3);
   if (fseek(f, long(data_off), SEEK_SET) != 0) return img;

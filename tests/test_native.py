@@ -112,3 +112,15 @@ def test_letterbox_rounding_matches_python(tmp_path):
     assert geom[0, 0] == pytest.approx(ratio)
     assert geom[0, 1] == pytest.approx(dw)
     assert geom[0, 2] == pytest.approx(dh)
+
+
+def test_decode_bmp_rejects_absurd_dims(tmp_path):
+    """A crafted header claiming huge dimensions must not allocate
+    (uploads reach this decoder; the dims cap bounds the commit)."""
+    import struct
+    hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 100000, 100000, 1, 24,
+                       0, 0, 0, 0, 0, 0)
+    p = tmp_path / "bomb.bmp"
+    p.write_bytes(hdr)
+    assert native.decode_image(str(p)) is None

@@ -27,6 +27,8 @@ def test_spec_from_timm_name():
         (224, 8, 768, 12, 12)
     s = refapi.spec_from_timm_name("vit_small_patch16_224")
     assert (s.dim, s.heads) == (384, 6)
+    s = refapi.spec_from_timm_name("vit_tiny_patch16_224")
+    assert (s.dim, s.depth, s.heads) == (192, 12, 3)
     with pytest.raises(ValueError):
         refapi.spec_from_timm_name("resnet50")
 

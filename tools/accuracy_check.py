@@ -51,6 +51,7 @@ def main():
         sys.exit(int(rc))
 
     import dataclasses
+    import shutil
     import tempfile
     import numpy as np
     import jax
@@ -137,6 +138,7 @@ def main():
                   f"det={int(out['det_labels'][0][k])}"
                   f"@{out['det_scores'][0][k]:.3f} cls={fcls} "
                   f"match_iou={best:.3f}")
+    shutil.rmtree(tmp, ignore_errors=True)
     n_img = len(paths)
     print(f"\nimages: {n_img}  detection-count agreement: "
           f"{count_match}/{n_img}")

@@ -31,7 +31,8 @@ from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
 _TIMM_NAME = re.compile(
     r"vit_(?P<size>tiny|small|base|large)_patch(?P<patch>\d+)_(?P<img>\d+)")
 
-_DIMS = {"small": (384, 12, 6), "base": (768, 12, 12),
+_DIMS = {"tiny": (192, 12, 3), "small": (384, 12, 6),
+         "base": (768, 12, 12),
          "large": (1024, 24, 16)}   # dim, depth, heads
 
 

@@ -159,12 +159,14 @@ class InspectionService:
     def route_train_now(self):
         """POST/GET /trainNow — reference :167-190 semantics incl. the
         'already running' guard."""
-        # atomic counter reset (a separate read()+write() pair would
-        # silently overwrite concurrent /getConfig updates)
-        cfg = self.config.update(num=0)
         with self._train_lock:
             if self.training_epochs_left > 0:
                 return {"state": "模型正在运行"}
+            # atomic counter reset (a separate read()+write() pair would
+            # silently overwrite concurrent /getConfig updates); only AFTER
+            # the running guard — an early return must not zero the
+            # labels-since-last-retrain counter (reference :167-190)
+            cfg = self.config.update(num=0)
             self.training_epochs_left = cfg.get(
                 "class_config", {}).get("epoch", 10)
         if self.retrain_fn is not None:
