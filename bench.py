@@ -25,9 +25,13 @@ import time
 
 
 def _emit(metric, value, unit, vs_baseline, **extra) -> None:
-    print(json.dumps({"metric": metric, "value": round(value, 2),
-                      "unit": unit, "vs_baseline": round(vs_baseline, 4),
-                      "extra": extra}))
+    """vs_baseline=None omits the field (modes with no meaningful baseline
+    ratio — emitting 0.0 read like a failed comparison)."""
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(vs_baseline, 4)
+    rec["extra"] = extra
+    print(json.dumps(rec))
 
 
 def _timed(fn, args, iters, barrier):
@@ -115,9 +119,12 @@ def main() -> None:
     else:
         det_cfg = DetectConfig(
             variant="s" if args.mode in ("two_stage", "serve") else "n")
+        # B/8's 785 tokens lane-pad to 896 (masked keys, bit-stable output —
+        # tests/test_vit_pad_tokens.py); B/16's 197 measured faster unpadded
         vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16,
                            quant="w8a" if args.quant else "none",
-                           attn_impl="fused")
+                           attn_impl="fused",
+                           pad_tokens=896 if args.vit == "b8" else 0)
         batch, iters = args.batch, args.iters
         img_hw = (720, 1280) if args.input == "720p" else (640, 640)
         dtype = jnp.bfloat16
@@ -132,7 +139,7 @@ def main() -> None:
         if args.mode == "two_stage":
             images = jnp.asarray(rng.integers(
                 0, 256, (batch, *img_hw, 3), dtype=np.uint8))
-            fn = jax.jit(pipe.__call__)
+            fn = pipe.jit()
             dt = _timed(fn, (params, images), iters, barrier)
             v = batch * iters / dt / n_chips
 
@@ -249,7 +256,9 @@ def main() -> None:
         params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                      jnp.zeros((1, s, s, 3), dtype))
         x = jnp.asarray(rng.random((batch, s, s, 3)), dtype)
-        fn = jax.jit(model.apply)
+        from yolov8_vit_tpu.models.vit import vit_compiler_options
+        fn = jax.jit(model.apply,
+                     compiler_options=vit_compiler_options(vit_spec))
         dt = _timed(fn, (params, x), iters, barrier)
         v = batch * iters / dt / n_chips
         _emit("classify_images_per_sec_per_chip", v, "images/s/chip",
@@ -283,8 +292,11 @@ def main() -> None:
 
         dt = _timed(fn, (params, opt_state), iters, barrier)
         v = batch * iters / dt / n_chips
+        # no reference/baseline protocol exists for train throughput
+        # (BASELINE.md's north star is the two-stage pipeline) — omit the
+        # ratio rather than emit a dead 0.0
         _emit("vit_train_images_per_sec_per_chip", v, "images/s/chip",
-              0.0, batch=batch, vit=args.vit,
+              None, batch=batch, vit=args.vit,
               step_ms=round(dt / iters * 1e3, 2), device=device,
               smoke=args.smoke)
         return

@@ -199,14 +199,19 @@ static void ResizeBilinear(const Image& src, int out_w, int out_h,
 LetterboxInfo LetterboxU8(const Image& src, int out_w, int out_h,
                           uint8_t pad_value, uint8_t* dst) {
   LetterboxInfo info;
-  const float r = std::min(float(out_w) / src.width, float(out_h) / src.height);
+  // Ratio in double: ops/letterbox.py letterbox_params computes it in
+  // float64, and a float32 ratio can land within float32 error of a
+  // half-integer product, shifting new_w/new_h by 1px vs the Python
+  // geometry.
+  const double r =
+      std::min(double(out_w) / src.width, double(out_h) / src.height);
   // Python round() is half-to-even; lround (half away from zero) diverges
   // by 1px on exact-.5 products, desyncing the geometry from
   // ops/letterbox.py letterbox_params.  nearbyint honors the default
   // FE_TONEAREST (ties-to-even) mode.
   const int new_w = int(std::nearbyint(double(src.width) * r));
   const int new_h = int(std::nearbyint(double(src.height) * r));
-  info.ratio = r;
+  info.ratio = float(r);
   info.dw = (out_w - new_w) / 2.f;
   info.dh = (out_h - new_h) / 2.f;
   const int top = int(std::lround(info.dh - 0.1f));

@@ -55,6 +55,100 @@ def test_run_paths_mixed_sizes_and_bad_file(runner, tmp_path):
     np.testing.assert_allclose(r0["boxes"], results[0]["boxes"], atol=1e-3)
 
 
+def _dense_cfg():
+    """Thresholds that keep nearly every candidate: a random-init detector
+    emits tiny scores (the head's cls priors) and heavily-overlapping
+    boxes, so BOTH confidence gates drop to ~0 and BOTH NMS IoU gates rise
+    to ~1 — the stage-1 scan then fills topk and the area-NMS keeps it,
+    yielding a dense synthetic scene."""
+    return DetectConfig(input_size=(64, 64), variant="n", nms_pre_topk=64,
+                        nms_topk=16, nms_conf=1e-6, conf_second=1e-6,
+                        nms_iou=0.995, custom_nms_iou=0.999)
+
+
+def _mk_runner(budget, max_batch=4, mesh=None):
+    pipe = TwoStagePipeline(
+        det_cfg=_dense_cfg(),
+        vit_spec=ViTSpec(img_size=32, patch=8, dim=64, depth=2, heads=4,
+                         backbone_classes=40),
+        classify_budget=budget)
+    params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+    # a random-init DFL head emits huge near-identical boxes everywhere
+    # (softmax expectation ~center bin x stride, clamped to the frame),
+    # which the area NMS collapses to one box per image.  Bias the DFL bins
+    # low (small anchor-centered boxes, disjoint across the grid) and
+    # sharpen the convs for score/size diversity -> genuinely dense scene.
+    det = jax.tree.map(np.asarray, params["det"])
+    head = det["params"]["detect"]
+    reg_max = 16
+    low_bins = -2.0 * np.tile(np.arange(reg_max, dtype=np.float32), 4)
+    for i in range(3):
+        head[f"box{i}_2"]["kernel"] = head[f"box{i}_2"]["kernel"] * 3.0
+        head[f"box{i}_2"]["bias"] = low_bins.copy()
+        head[f"cls{i}_2"]["kernel"] = head[f"cls{i}_2"]["kernel"] * 40.0
+    params["det"] = jax.tree.map(jax.numpy.asarray, det)
+    return BatchRunner(pipe, params, max_batch=max_batch, mesh=mesh)
+
+
+def test_overflow_reclassifies_exactly(tmp_path):
+    """Production-path parity at ANY scene density (the reference
+    classifies every kept box, `/root/reference/app.py:39-42`): when valid
+    detections exceed the fused graph's classify budget, the rare-path
+    reclassify must produce the same labels a large-budget graph computes
+    in one pass."""
+    paths = _imgs(tmp_path, [(64, 64)] * 4)
+    small = _mk_runner(budget=1)          # 4 slots for the whole batch
+    big = _mk_runner(budget=16)           # 64 slots: never overflows
+    prof = {}
+    res_small = small.run_paths(paths, profile=prof)
+    res_big = big.run_paths(paths)
+
+    total_valid = sum(int(r["final_valid"].sum()) for r in res_small)
+    assert total_valid > 4, "scene not dense enough to exercise overflow"
+    assert prof.get("overflow_ms", 0.0) > 0.0   # the rare path actually ran
+
+    for rs, rb in zip(res_small, res_big):
+        np.testing.assert_array_equal(rs["final_valid"], rb["final_valid"])
+        valid = rs["final_valid"]
+        # every valid detection is classified — no -1 fallbacks remain
+        assert (rs["cls_labels"][valid] >= 0).all()
+        np.testing.assert_array_equal(rs["cls_labels"][valid],
+                                      rb["cls_labels"][valid])
+        np.testing.assert_allclose(rs["cls_scores"][valid],
+                                   rb["cls_scores"][valid], atol=1e-5)
+
+
+def test_sharded_runner_matches_single_device(tmp_path):
+    """BatchRunner(mesh=...) shards request batches over the data axis; the
+    results must match the unsharded runner through the real run_paths API."""
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    mesh = Mesh(np.asarray(devs[:8]), ("data",))
+    paths = _imgs(tmp_path, [(64, 64)] * 8 + [(48, 80)] * 3)
+    sharded = _mk_runner(budget=2, max_batch=8, mesh=mesh)
+    plain = _mk_runner(budget=2, max_batch=8)
+    res_s = sharded.run_paths(paths)
+    res_p = plain.run_paths(paths)
+    for rs, rp in zip(res_s, res_p):
+        np.testing.assert_array_equal(rs["final_valid"], rp["final_valid"])
+        np.testing.assert_allclose(rs["boxes"], rp["boxes"], atol=1e-3)
+        valid = rs["final_valid"]
+        np.testing.assert_array_equal(rs["cls_labels"][valid],
+                                      rp["cls_labels"][valid])
+
+
+def test_mesh_requires_divisible_batch():
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    mesh = Mesh(np.asarray(devs[:8]), ("data",))
+    with pytest.raises(ValueError, match="multiple of the data axis"):
+        _mk_runner(budget=2, max_batch=6, mesh=mesh)
+
+
 def test_flatten_contract(runner, tmp_path):
     paths = _imgs(tmp_path, [(64, 64)])
     results = runner.run_paths(paths)

@@ -81,6 +81,52 @@ def test_engine_rejects_unknown_kind(classify_engine, tmp_path):
         Engine(bad)
 
 
+def test_aot_executable_no_retrace(classify_engine):
+    """deserializeCudaEngine parity: with an AOT blob attached for the
+    input shape, __call__ must never re-trace the model."""
+    import os
+    from yolov8_vit_tpu.runtime.engine import attach_aot
+    written = attach_aot(classify_engine, [(2, 32, 32, 3)])
+    assert all(os.path.exists(w) for w in written)
+
+    x = np.random.default_rng(3).random((2, 32, 32, 3)).astype(np.float32)
+    ref = Engine(classify_engine)
+    ref._aot = {}                      # force the traced fallback path
+    want = np.asarray(ref(x))
+
+    eng = Engine(classify_engine)
+    assert (2, 32, 32, 3) in eng._aot
+
+    def boom(*_a, **_k):
+        raise AssertionError("model was re-traced despite the AOT blob")
+    eng._fn = boom
+    eng._forward = boom
+    got = np.asarray(eng(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # NCHW input normalizes to the same NHWC executable
+    got2 = np.asarray(eng(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-6)
+    # unknown shapes still fall back to the traced path
+    eng2 = Engine(classify_engine)
+    out3 = eng2(np.random.default_rng(4).random(
+        (3, 32, 32, 3)).astype(np.float32))
+    assert np.asarray(out3).shape == (3, 5)
+
+
+def test_aot_detect_engine(detect_engine):
+    from yolov8_vit_tpu.runtime.engine import attach_aot
+    attach_aot(detect_engine, [(1, 64, 64, 3)])
+    blob = np.random.default_rng(0).random((1, 3, 64, 64)).astype(np.float32)
+    ref = Engine(detect_engine)
+    ref._aot = {}
+    num, bb, sc, lb = ref(blob)
+    eng = Engine(detect_engine)
+    eng._fn = eng._forward = None      # would TypeError if fallback taken
+    num2, bb2, sc2, lb2 = eng(blob)
+    np.testing.assert_array_equal(np.asarray(num2), np.asarray(num))
+    np.testing.assert_allclose(np.asarray(bb2), np.asarray(bb), atol=1e-4)
+
+
 def test_engine_roundtrip_preserves_params(classify_engine):
     eng1 = Engine(classify_engine)
     eng2 = Engine(classify_engine)

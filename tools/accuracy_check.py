@@ -130,7 +130,10 @@ def main():
                 if v > best:
                     best_i, best = i, v
             total += 1
-            if best_i >= 0:
+            # require a real overlap before pairing: accepting any IoU > 0
+            # let a barely-overlapping wrong detection consume the match
+            # and count toward class agreement
+            if best_i >= 0 and best >= 0.5:
                 ious.append(best)
                 agree += int(host[best_i][1] == fcls)
                 host.pop(best_i)

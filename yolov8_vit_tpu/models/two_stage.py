@@ -185,4 +185,6 @@ class TwoStagePipeline:
 
     def jit(self):
         """Return the jitted forward (params, images) -> dict."""
-        return jax.jit(self.__call__)
+        from yolov8_vit_tpu.models.vit import vit_compiler_options
+        return jax.jit(self.__call__,
+                       compiler_options=vit_compiler_options(self.vit_spec))

@@ -46,6 +46,15 @@ class ViTSpec:
     # int8 QKV/output projections inside the fused attention kernel; needs
     # attn_impl="fused" and prequantize_tree(params, MLP_AND_ATTN_SUFFIXES))
     quant: str = "none"
+    # Lane-pad the token sequence to this length right after pos-embed
+    # (0 = off).  ViT-B/8's 785 tokens are MXU-hostile: 785 % 8 != 0 makes
+    # every per-image row slice sublane-misaligned and every (T, T) score
+    # dot pads 785 -> 896 lanes implicitly anyway.  Padding ONCE to a
+    # multiple of 128 with masked attention keys keeps all kernels on
+    # aligned shapes; the cls-token output is bit-unchanged (padded keys are
+    # masked to -inf, padded rows are row-local elsewhere and never read).
+    # Param tree is unchanged (pos_embed stays `tokens`-sized).
+    pad_tokens: int = 0
 
     def __post_init__(self):
         if self.attn_impl not in ("xla", "pallas", "fused"):
@@ -58,16 +67,46 @@ class ViTSpec:
             # deep in flax when params were prequantized with the attention
             # suffixes)
             raise ValueError("quant='w8a' requires attn_impl='fused'")
+        if self.pad_tokens:
+            if self.pad_tokens < self.tokens:
+                raise ValueError(
+                    f"pad_tokens {self.pad_tokens} < sequence {self.tokens}")
+            if self.attn_impl == "pallas":
+                # flash_attention masks its own internal padding from the
+                # full input length; external padding would unmask it
+                raise ValueError("pad_tokens requires attn_impl 'fused' or "
+                                 "'xla'")
 
     @property
     def tokens(self) -> int:
         return (self.img_size // self.patch) ** 2 + 1
+
+    @property
+    def seq_len(self) -> int:
+        """Compute-time sequence length (tokens, or pad_tokens when set)."""
+        return self.pad_tokens if self.pad_tokens else self.tokens
 
 
 VIT_B8_224 = ViTSpec()
 VIT_B16_224 = ViTSpec(patch=16)
 VIT_S16_224 = ViTSpec(patch=16, dim=384, heads=6)
 VIT_L16_224 = ViTSpec(patch=16, dim=1024, depth=24, heads=16)
+
+
+def vit_compiler_options(spec: ViTSpec) -> dict | None:
+    """Per-compile jit options a graph containing this ViT needs on TPU.
+
+    The fused attention kernel at t >= 896 (lane-padded B/8) allocates
+    ~16.01 MB scoped VMEM — 4-8 KB over the toolchain's default 16 MB
+    limit — so compiles carrying it raise the limit (the axon terminal
+    forwards proto-backed xla_* flags per-compile).  None elsewhere: the
+    CPU backend rejects TPU flags."""
+    import jax
+    if spec.pad_tokens and spec.pad_tokens >= 896 \
+            and spec.attn_impl == "fused" \
+            and jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+    return None
 
 
 class QuantDense(nn.Module):
@@ -190,6 +229,9 @@ class Attention(nn.Module):
             scale = head_dim ** -0.5
             attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k,
                               preferred_element_type=jnp.float32)
+            if s.pad_tokens and t > s.tokens:
+                col = jax.lax.broadcasted_iota(jnp.int32, attn.shape, 3)
+                attn = jnp.where(col < s.tokens, attn, -jnp.inf)
             attn = nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhc->bqhc", attn, v,
                              preferred_element_type=jnp.float32
@@ -205,6 +247,9 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = self.spec
+        # lane-padded sequence: mask padded keys inside the sdpa
+        t_real = s.tokens if (s.pad_tokens and x.shape[1] > s.tokens) \
+            else None
         if s.attn_impl == "fused" and s.quant == "w8a":
             # int8 QKV/proj inside the fused attention kernel; params in the
             # pre-quantized layout (prequantize_tree, attention suffixes)
@@ -212,7 +257,8 @@ class Block(nn.Module):
             ns, nb = _LNParams(s.dim, name="norm1")()
             kq, sq, bq, kp, sp, bp = _AttnParamsI8(s.dim, name="attn")()
             x = fused_attention_block_i8(x, ns, nb, kq, sq, bq, kp, sp, bp,
-                                         heads=s.heads, ln_eps=s.ln_eps)
+                                         heads=s.heads, ln_eps=s.ln_eps,
+                                         t_real=t_real)
         elif s.attn_impl == "fused":
             # whole attention sub-block (LN1+qkv+sdpa+proj+residual) in one
             # Pallas program; param tree identical to the module path below
@@ -220,7 +266,8 @@ class Block(nn.Module):
             ns, nb = _LNParams(s.dim, name="norm1")()
             wq, bq, wp, bp = _AttnParams(s.dim, name="attn")()
             x = fused_attention_block(x, ns, nb, wq, bq, wp, bp,
-                                      heads=s.heads, ln_eps=s.ln_eps)
+                                      heads=s.heads, ln_eps=s.ln_eps,
+                                      t_real=t_real)
         else:
             h = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype,
                              name="norm1")(x)
@@ -288,6 +335,11 @@ class ViT(nn.Module):
         pos = self.param("pos_embed",
                          nn.initializers.normal(stddev=0.02), (1, s.tokens, s.dim))
         x = x + pos.astype(x.dtype)
+        if s.pad_tokens and s.pad_tokens > s.tokens:
+            # lane-pad once; blocks mask the padded keys (spec docstring).
+            # Zero rows stay bounded through LN/MLP (row-local) and the
+            # cls-token read below never touches them.
+            x = jnp.pad(x, ((0, 0), (0, s.pad_tokens - s.tokens), (0, 0)))
         for i in range(s.depth):
             x = Block(s, dtype=self.dtype, name=f"block{i}")(x)
         # classifier reads only the cls token, and LayerNorm is per-token:

@@ -58,7 +58,13 @@ def _n(n: int, spec: YOLOv8Spec) -> int:
 
 
 class ConvBlock(nn.Module):
-    """Conv + (BN) + SiLU."""
+    """Conv + (BN) + SiLU.
+
+    The fused (inference) path runs the conv explicitly in the INPUT dtype
+    with f32 accumulation: flax's nn.Conv promotes a bf16 input against the
+    f32 params to an f32 convolution, silently halving MXU rate — the
+    detector's deep stages all flow through here.  Param tree is identical
+    to nn.Conv's ({conv: {kernel, bias}}, same initializers)."""
     out: int
     k: int = 1
     s: int = 1
@@ -68,12 +74,22 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.k // 2
+        if self.fused:
+            kernel, bias = _ConvParams(
+                (self.k, self.k, x.shape[-1] // self.g, self.out),
+                name="conv")()
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (self.s, self.s),
+                [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.g,
+                preferred_element_type=jnp.float32) + bias
+            return nn.silu(y).astype(x.dtype)
         x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
                     padding=[(p, p), (p, p)], feature_group_count=self.g,
-                    use_bias=self.fused, name="conv")(x)
-        if not self.fused:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                             epsilon=1e-3, name="bn")(x)
+                    use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, name="bn")(x)
         return nn.silu(x)
 
 

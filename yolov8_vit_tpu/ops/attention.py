@@ -86,14 +86,20 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def _sdpa_per_head(qkv, oacc, g: int, t: int, d: int, heads: int, dt):
+def _sdpa_per_head(qkv, oacc, g: int, t: int, d: int, heads: int, dt,
+                   t_real: int | None = None):
     """Per-image, per-head softmax(qk^T)v over a packed (g*t, 3d) QKV
     buffer, writing head outputs into the (g*t, d) VMEM scratch.
 
     Heads are processed one at a time with plain value slices; an earlier
     block-diagonal two-head formulation using partial-lane scratch stores
     was both slower AND silently corrupted data on hardware (clean in
-    interpret mode) — keep the scratch-free form."""
+    interpret mode) — keep the scratch-free form.
+
+    t_real < t masks key columns >= t_real to -inf before the softmax
+    (lane-padded sequences, e.g. ViT-B/8's 785 tokens padded to 896):
+    padded keys contribute nothing; padded QUERY rows produce bounded
+    garbage the caller's final cls-token slice never reads."""
     hd = d // heads
     scale = jnp.asarray(hd ** -0.5, dt)
     for gi in range(g):
@@ -105,6 +111,9 @@ def _sdpa_per_head(qkv, oacc, g: int, t: int, d: int, heads: int, dt):
             vh = qkv[r0:r0 + t, 2 * d + c0:2 * d + c0 + hd]
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+            if t_real is not None and t_real < t:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < t_real, s, -jnp.inf)
             mx = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - mx)
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
@@ -122,7 +131,8 @@ def _attn_group_size(b: int, t: int) -> int:
 
 
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
-                       bp_ref, o_ref, oacc, *, heads: int, ln_eps: float):
+                       bp_ref, o_ref, oacc, *, heads: int, ln_eps: float,
+                       t_real: int | None = None):
     """Whole pre-norm attention sub-block for `g` images in one program:
 
         out = x + proj( sdpa( qkv( LN1(x) ) ) )
@@ -140,7 +150,7 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
     qkv = (jax.lax.dot_general(h, wq_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
            + bq_ref[...][None, :]).astype(dt)
-    _sdpa_per_head(qkv, oacc, g, t, d, heads, dt)
+    _sdpa_per_head(qkv, oacc, g, t, d, heads, dt, t_real)
     y = jax.lax.dot_general(oacc[...], wp_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + bp_ref[...][None, :]
@@ -149,7 +159,8 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref,
 
 def _attn_block_kernel_i8(x_ref, lns_ref, lnb_ref, wq_ref, sq_ref, bq_ref,
                           wp_ref, sp_ref, bp_ref, o_ref, oacc, *,
-                          heads: int, ln_eps: float):
+                          heads: int, ln_eps: float,
+                          t_real: int | None = None):
     """`_attn_block_kernel` with the QKV and output projections W8A8:
     activations per-row dynamically quantized AFTER the LayerNorm (post-LN
     activations are outlier-tamed, which is what makes int8 here accurate —
@@ -167,7 +178,7 @@ def _attn_block_kernel_i8(x_ref, lns_ref, lnb_ref, wq_ref, sq_ref, bq_ref,
                               preferred_element_type=jnp.int32)
     qkv = (acc.astype(jnp.float32) * sx * sq_ref[...][None, :]
            + bq_ref[...][None, :]).astype(dt)
-    _sdpa_per_head(qkv, oacc, g, t, d, heads, dt)
+    _sdpa_per_head(qkv, oacc, g, t, d, heads, dt, t_real)
     oi, so = quantize_act(oacc[...].astype(jnp.float32))
     acc2 = jax.lax.dot_general(oi, wp_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
@@ -179,10 +190,12 @@ def _attn_block_kernel_i8(x_ref, lns_ref, lnb_ref, wq_ref, sq_ref, bq_ref,
 def fused_attention_block_i8(x: jnp.ndarray, ln_scale, ln_bias,
                              wqkv_i8, sqkv, bqkv, wproj_i8, sproj, bproj,
                              *, heads: int, ln_eps: float = 1e-6,
+                             t_real: int | None = None,
                              interpret: bool | None = None) -> jnp.ndarray:
     """W8A8 QKV/proj variant of `fused_attention_block`.  Weights are
     pre-quantized per-out-channel int8 (ops.quant.quantize_weight /
-    prequantize_tree with the attention suffixes)."""
+    prequantize_tree with the attention suffixes).  t_real: see
+    `_sdpa_per_head` (lane-padded sequences)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
@@ -192,7 +205,8 @@ def fused_attention_block_i8(x: jnp.ndarray, ln_scale, ln_bias,
             sqkv.astype(f32), bqkv.astype(f32), wproj_i8,
             sproj.astype(f32), bproj.astype(f32))
     return pl.pallas_call(
-        functools.partial(_attn_block_kernel_i8, heads=heads, ln_eps=ln_eps),
+        functools.partial(_attn_block_kernel_i8, heads=heads, ln_eps=ln_eps,
+                          t_real=t_real),
         grid=(b // g,),
         in_specs=[pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] +
@@ -210,10 +224,11 @@ def fused_attention_block_i8(x: jnp.ndarray, ln_scale, ln_bias,
 
 def fused_attention_block(x: jnp.ndarray, ln_scale, ln_bias, wqkv, bqkv,
                           wproj, bproj, *, heads: int, ln_eps: float = 1e-6,
+                          t_real: int | None = None,
                           interpret: bool | None = None) -> jnp.ndarray:
     """x (B, T, D) -> x + proj(MHA(LayerNorm(x))), one Pallas program per
     group of images.  Measured 0.44 vs 0.69 ms for the XLA sub-block at
-    ViT-B/16 x32-crop shapes on v5e."""
+    ViT-B/16 x32-crop shapes on v5e.  t_real: see `_sdpa_per_head`."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
@@ -221,7 +236,8 @@ def fused_attention_block(x: jnp.ndarray, ln_scale, ln_bias, wqkv, bqkv,
     dt = x.dtype
     f32 = jnp.float32
     out = pl.pallas_call(
-        functools.partial(_attn_block_kernel, heads=heads, ln_eps=ln_eps),
+        functools.partial(_attn_block_kernel, heads=heads, ln_eps=ln_eps,
+                          t_real=t_real),
         grid=(b // g,),
         in_specs=[pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] +

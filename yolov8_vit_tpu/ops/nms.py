@@ -88,7 +88,7 @@ def efficient_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                   iou_threshold: float = 0.65,
                   score_threshold: float = 0.25,
                   max_output: int = 100,
-                  pre_topk: int = 512,
+                  pre_topk: int | None = None,
                   class_aware: bool = True,
                   multi_label: bool = True):
     """EfficientNMS_TRT-equivalent with static output shapes.
@@ -96,6 +96,12 @@ def efficient_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     Args:
       boxes:  (N, 4) xyxy in letterboxed coords.
       scores: (N, C) per-class scores (already sigmoided).
+      pre_topk: candidate-pool truncation (static shape for the fori_loop
+        pass).  Default None = 512 scaled by the class count when
+        multi_label is on — the multi-label pool is N*C candidates, and a
+        fixed 512 tuned for N anchors truncates candidates the
+        full-candidate scan kernel (`efficient_nms_scan`) keeps, making the
+        two implementations diverge on dense scenes.
       multi_label: plugin parity — every (anchor, class) pair above the
         threshold is its own candidate; False reduces each anchor to its
         argmax class first (cheaper, diverges when an anchor has two
@@ -111,10 +117,14 @@ def efficient_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     if multi_label and class_aware:
         pool_boxes, pool_scores, pool_labels = \
             _multilabel_candidates(boxes, scores)
+        if pre_topk is None:
+            pre_topk = 512 * scores.shape[1]
     else:
         pool_boxes = boxes
         pool_scores = jnp.max(scores, axis=-1)
         pool_labels = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        if pre_topk is None:
+            pre_topk = 512
     valid = pool_scores > score_threshold
 
     k = min(pre_topk, pool_scores.shape[0])

@@ -24,9 +24,13 @@ def decode_predictions(head_outputs, cfg: DetectConfig):
     `/root/reference/app.py:29`).
     """
     box_dist, cls_logits = flatten_head_outputs(head_outputs)
+    # decode in f32 regardless of the backbone's activation dtype: the DFL
+    # softmax-expectation and score sigmoid are tiny (A x 64) and the NMS
+    # kept-set is sensitive to box/score precision
+    box_dist = box_dist.astype(jnp.float32)
     anchors, stride = make_anchors(cfg.input_size, cfg.strides)
     boxes = dfl_decode(box_dist, anchors, stride, cfg.reg_max)
-    scores = jax.nn.sigmoid(cls_logits)
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
 
     if cfg.nms_impl == "scan":
         def one(b, s):

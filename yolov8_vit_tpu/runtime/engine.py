@@ -11,11 +11,16 @@ A TensorRT `.engine` file becomes an **engine directory**:
 
     <path>/meta.json        kind, model spec, NMS protocol, input shape
     <path>/params.msgpack   flax-serialized parameter pytree
+    <path>/aot/*.jaxexp     optional jax.export blobs, one per (input
+                            shape, dtype, platform) — `attach_aot`
 
-and `Engine(tensor)` executes the jit-compiled XLA graph (compiled once per
-input shape, cached — the XLA analogue of deserializeCudaEngine +
-createExecutionContext quoted at
-`/root/reference/docs/YOLO_TensorRT_Technical.md:228-230`).
+and `Engine(tensor)` executes the stored executable when one matches the
+input shape (deserialize, no Python re-trace of the model — the XLA
+analogue of deserializeCudaEngine + createExecutionContext quoted at
+`/root/reference/docs/YOLO_TensorRT_Technical.md:228-230`), falling back to
+a jit of the model for unlisted shapes.  Like a TRT plan, an AOT blob is
+platform-specific: blobs are exported for the backend that built them and
+ignored elsewhere (the filename carries the platform).
 
 Engine kinds:
   "detect"    YOLOv8 + DFL + EfficientNMS-equiv; input: letterboxed blob
@@ -55,6 +60,52 @@ def save_engine(path: str, kind: str, params: Any, meta: dict) -> str:
     return path
 
 
+def _aot_name(shape: tuple, dtype, platform: str) -> str:
+    return "x".join(map(str, shape)) + f"_{jnp.dtype(dtype).name}" \
+           f"_{platform}.jaxexp"
+
+
+def _parse_aot_name(name: str):
+    """'8x640x640x3_bfloat16_tpu.jaxexp' -> ((8,640,640,3), 'bfloat16',
+    'tpu'), or None if unparseable."""
+    if not name.endswith(".jaxexp"):
+        return None
+    parts = name[:-7].rsplit("_", 2)
+    if len(parts) != 3:
+        return None
+    try:
+        shape = tuple(int(v) for v in parts[0].split("x"))
+    except ValueError:
+        return None
+    return shape, parts[1], parts[2]
+
+
+def attach_aot(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
+    """Export + serialize the engine's forward for the given NHWC input
+    shapes into `<path>/aot/` (build.py's serialized-plan step).  Blobs are
+    exported for the CURRENT jax backend — kernel lowering (Pallas
+    interpret mode etc.) is baked at trace time, so a blob is only valid on
+    the platform that built it, exactly like a TensorRT plan is
+    GPU-specific.  Returns the written file paths."""
+    from jax import export as jax_export
+    eng = Engine(path, dtype=dtype)
+    platform = jax.default_backend()
+    adir = os.path.join(path, "aot")
+    os.makedirs(adir, exist_ok=True)
+    params_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        eng.params)
+    written = []
+    for shp in input_shapes:
+        exp = jax_export.export(jax.jit(eng._forward))(
+            params_abs, jax.ShapeDtypeStruct(tuple(shp), dtype))
+        out = os.path.join(adir, _aot_name(tuple(shp), dtype, platform))
+        with open(out, "wb") as f:
+            f.write(exp.serialize())
+        written.append(out)
+    return written
+
+
 def _maybe_nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     # reference blob() emits NCHW; NHWC passes through
     if x.ndim == 4 and x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
@@ -87,9 +138,6 @@ class Engine:
             if "det_spec" in self.meta:  # explicit overrides (custom scales)
                 spec = dataclasses.replace(spec, **self.meta["det_spec"])
             self.model = YOLOv8(spec, fused=True)
-            template = self.model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, *self.det_cfg.input_size, 3), dtype))
             h, w = self.det_cfg.input_size
             self.inp_info = [type("Io", (), {"shape": (1, 3, h, w)})()]
             self._desired = list(DETECT_OUTPUTS)
@@ -100,20 +148,37 @@ class Engine:
             self.model = ViTClassifier(self.vit_spec, self.num_classes,
                                        dtype=dtype)
             s = self.vit_spec.img_size
-            template = self.model.init(jax.random.PRNGKey(0),
-                                       jnp.zeros((1, s, s, 3), dtype))
             self.inp_info = [type("Io", (), {"shape": (1, 3, s, s)})()]
             self._desired = ["output"]
         else:
             raise ValueError(f"unknown engine kind {self.kind!r}")
 
+        # template-free restore (structure comes from the msgpack itself):
+        # a model.init here cost a full trace+compile per load — the main
+        # cold-start term the TRT engine avoids by being a serialized plan
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
-            self.params = flax.serialization.from_bytes(template, f.read())
+            self.params = flax.serialization.msgpack_restore(f.read())
         if device is not None:
             self.params = jax.device_put(self.params, device)
         # one jit wrapper: jax caches per input shape/dtype itself, and the
         # output selection (set_desired) is host-side, after the call
-        self._fn = jax.jit(self._forward)
+        from yolov8_vit_tpu.models.vit import vit_compiler_options
+        self._copts = (vit_compiler_options(self.vit_spec)
+                       if self.kind == "classify" else None)
+        self._fn = jax.jit(self._forward, compiler_options=self._copts)
+        # AOT registry: serialized executables for this platform, keyed by
+        # NHWC input shape (deserializeCudaEngine parity — __call__ uses
+        # these without re-tracing the model)
+        self._aot: dict[tuple, str] = {}
+        self._aot_fns: dict[tuple, Any] = {}
+        adir = os.path.join(path, "aot")
+        if os.path.isdir(adir):
+            backend = jax.default_backend()
+            for name in os.listdir(adir):
+                parsed = _parse_aot_name(name)
+                if parsed and parsed[2] == backend \
+                        and parsed[1] == jnp.dtype(dtype).name:
+                    self._aot[parsed[0]] = os.path.join(adir, name)
 
     # ---- TRTModule API ----------------------------------------------------
     def set_desired(self, names: list[str]) -> None:
@@ -123,7 +188,19 @@ class Engine:
 
     def __call__(self, tensor):
         x = _maybe_nchw_to_nhwc(jnp.asarray(tensor))
-        outs = self._fn(self.params, x.astype(self.dtype))
+        x = x.astype(self.dtype)
+        key = tuple(x.shape)
+        if key in self._aot:
+            fn = self._aot_fns.get(key)
+            if fn is None:
+                from jax import export as jax_export
+                with open(self._aot[key], "rb") as f:
+                    exported = jax_export.deserialize(bytearray(f.read()))
+                fn = jax.jit(exported.call, compiler_options=self._copts)
+                self._aot_fns[key] = fn
+            outs = fn(self.params, x)
+        else:
+            outs = self._fn(self.params, x)
         picked = tuple(outs[n] for n in self._desired)
         return picked if len(picked) > 1 else picked[0]
 

@@ -188,8 +188,17 @@ class InspectionService:
         training run (retrain_fns that take only `log` still work)."""
         import inspect
         epochs = self.config.read().get("class_config", {}).get("epoch")
-        params = inspect.signature(self.retrain_fn).parameters
-        if "epochs" in params:
+        # Accept the kwarg through **kwargs too (a bare name check silently
+        # dropped the knob for retrain_fns declared with **kwargs);
+        # inspect.signature itself resolves functools.partial wrappers.
+        try:
+            params = inspect.signature(self.retrain_fn).parameters
+            takes_epochs = "epochs" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values())
+        except (TypeError, ValueError):   # C callables etc.
+            takes_epochs = False
+        if takes_epochs:
             self.retrain_fn(log, epochs=epochs)
         else:
             self.retrain_fn(log)

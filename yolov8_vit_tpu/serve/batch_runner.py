@@ -32,6 +32,10 @@ class BatchRunner:
     pipeline: TwoStagePipeline
     params: dict
     max_batch: int = 8
+    # optional jax.sharding.Mesh with a "data" axis: request batches shard
+    # over it (params replicate; the XLA partitioner emits the collectives).
+    # max_batch must be a multiple of the data-axis size.
+    mesh: object = None
 
     def __post_init__(self):
         # pack all outputs into ONE f32 array so fetching results costs a
@@ -50,7 +54,39 @@ class BatchRunner:
                 o["cls_scores"],
             ], axis=1)
 
-        self._fn = jax.jit(packed)
+        # rare-path reclassify for budget overflow: the SAME device ops as
+        # the fused pipeline (crop_to_patches_i8 + classifier), fed explicit
+        # slots — labels are bit-identical to what the fused graph would
+        # have produced with a larger budget, so the production path matches
+        # the reference's classify-every-kept-box semantics
+        # (`/root/reference/YOLOTensorRT_yolodet_py_解读.md:94-117`) at ANY
+        # scene density.
+        def classify_slots(params, images, slot_img, slot_boxes):
+            from yolov8_vit_tpu.ops.crop import crop_to_patches_i8
+            vs = self.pipeline.vit_spec
+            crops = crop_to_patches_i8(images, slot_img, slot_boxes,
+                                       (vs.img_size, vs.img_size), vs.patch)
+            logits = self.pipeline.classifier.apply(params["vit"], crops)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return (jnp.argmax(probs, axis=-1).astype(jnp.int32),
+                    jnp.max(probs, axis=-1))
+
+        from yolov8_vit_tpu.models.vit import vit_compiler_options
+        copts = vit_compiler_options(self.pipeline.vit_spec)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if self.max_batch % self.mesh.shape["data"]:
+                raise ValueError(
+                    f"max_batch {self.max_batch} must be a multiple of the "
+                    f"data axis ({self.mesh.shape['data']})")
+            data = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            reptree = jax.tree.map(lambda _: rep, self.params)
+            self._fn = jax.jit(packed, in_shardings=(reptree, data),
+                               out_shardings=data, compiler_options=copts)
+        else:
+            self._fn = jax.jit(packed, compiler_options=copts)
+        self._cls_fn = jax.jit(classify_slots, compiler_options=copts)
 
     def _unpack(self, arr: np.ndarray) -> list[dict]:
         t = self.pipeline.det_cfg.nms_topk
@@ -91,20 +127,10 @@ class BatchRunner:
         except OSError:
             return None
 
-    def run_paths(self, paths: Sequence[str],
-                  profile: dict | None = None) -> list[dict | None]:
-        """Decode + run; returns one result dict per input path (None when
-        the image failed to decode), in input order.
-
-        Pipelined: images decode on a thread pool, every chunk is ENQUEUED
-        to the device before any result is fetched (dispatch is async), and
-        the packed single-array results are materialized last — so host
-        decode, device compute, and result transfer all overlap.
-
-        `profile`, when given, accumulates wall-clock buckets (ms):
-        decode_ms (host JPEG/PNG -> RGB), enqueue_ms (host->device upload +
-        dispatch), fetch_ms (device compute + result download, overlapped
-        with nothing left to hide it)."""
+    def _enqueue(self, paths: Sequence[str],
+                 profile: dict | None = None) -> dict:
+        """Decode + dispatch every chunk to the device (async); returns the
+        in-flight request state for `_finish`."""
         import time
         from concurrent.futures import ThreadPoolExecutor
 
@@ -112,12 +138,11 @@ class BatchRunner:
         with ThreadPoolExecutor(min(8, max(len(paths), 1))) as pool:
             imgs = list(pool.map(self._decode, paths))
         t1 = time.perf_counter()
-        results: list[dict | None] = [None] * len(paths)
         buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
         for i, img in enumerate(imgs):
             if img is not None:
                 buckets[img.shape[:2]].append(i)
-        pending = []   # (chunk indices, device array)
+        pending = []   # (chunk indices, device images, device result)
         for _hw, idxs in buckets.items():
             for start in range(0, len(idxs), self.max_batch):
                 chunk = idxs[start:start + self.max_batch]
@@ -131,23 +156,130 @@ class BatchRunner:
                     batch = np.concatenate(
                         [batch, np.zeros((pad, *batch.shape[1:]),
                                          batch.dtype)])
-                pending.append((chunk, self._fn(self.params,
-                                                jnp.asarray(batch))))
+                dev_batch = jnp.asarray(batch)
+                pending.append((chunk, dev_batch,
+                                self._fn(self.params, dev_batch)))
         t2 = time.perf_counter()
-        for chunk, dev in pending:
-            packed = np.asarray(dev)
-            # zip drops the padded tail rows (chunk is the source of truth)
-            for idx, rec in zip(chunk, self._unpack(packed)):
-                results[idx] = rec
-        t3 = time.perf_counter()
         if profile is not None:
             profile["decode_ms"] = profile.get("decode_ms", 0.0) + \
                 (t1 - t0) * 1e3
             profile["enqueue_ms"] = profile.get("enqueue_ms", 0.0) + \
                 (t2 - t1) * 1e3
+        return {"n": len(paths), "pending": pending}
+
+    def _finish(self, state: dict,
+                profile: dict | None = None) -> list[dict | None]:
+        """Materialize the results of an `_enqueue`d request."""
+        import time
+        results: list[dict | None] = [None] * state["n"]
+        t2 = time.perf_counter()
+        t_over = 0.0
+        for chunk, dev_batch, dev in state["pending"]:
+            packed = np.asarray(dev)
+            recs = self._unpack(packed)
+            to = time.perf_counter()
+            self._reclassify_overflow(recs[:len(chunk)], dev_batch)
+            t_over += time.perf_counter() - to
+            # zip drops the padded tail rows (chunk is the source of truth)
+            for idx, rec in zip(chunk, recs):
+                results[idx] = rec
+        t3 = time.perf_counter()
+        if profile is not None:
             profile["fetch_ms"] = profile.get("fetch_ms", 0.0) + \
-                (t3 - t2) * 1e3
+                (t3 - t2 - t_over) * 1e3
+            profile["overflow_ms"] = profile.get("overflow_ms", 0.0) + \
+                t_over * 1e3
         return results
+
+    def run_paths(self, paths: Sequence[str],
+                  profile: dict | None = None) -> list[dict | None]:
+        """Decode + run; returns one result dict per input path (None when
+        the image failed to decode), in input order.
+
+        Pipelined: images decode on a thread pool, every chunk is ENQUEUED
+        to the device before any result is fetched (dispatch is async), and
+        the packed single-array results are materialized last — so host
+        decode, device compute, and result transfer all overlap.
+
+        `profile`, when given, accumulates wall-clock buckets (ms):
+        decode_ms (host JPEG/PNG -> RGB), enqueue_ms (host->device upload +
+        dispatch), fetch_ms (device compute + result download, overlapped
+        with nothing left to hide it), overflow_ms (rare-path budget
+        reclassify)."""
+        return self._finish(self._enqueue(paths, profile), profile)
+
+    def run_stream(self, requests, profile: dict | None = None):
+        """Generator over a stream of requests (each a path list), with
+        CROSS-REQUEST pipelining: request N+1 decodes and enqueues while
+        request N's results are still in flight — the reference's analogue
+        is its thread-per-URL ingest feeding one hot loop
+        (`/root/reference/app.py:45-63`).  Yields one result list per
+        request, in order."""
+        it = iter(requests)
+        prev = None
+        for paths in it:
+            state = self._enqueue(paths, profile)
+            if prev is not None:
+                yield self._finish(prev, profile)
+            prev = state
+        if prev is not None:
+            yield self._finish(prev, profile)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _host_inflate(boxes: np.ndarray, w: int, h: int) -> np.ndarray:
+        """Host replica of the fused graph's crop-box arithmetic
+        (models/two_stage.py: round -> ops.boxes.inflate_boxes -> round).
+        Integer-exact: np.round and jnp.round are both ties-to-even and the
+        inflation is integer floor-division."""
+        ib = np.round(boxes.astype(np.float64)).astype(np.int32) \
+               .astype(np.float32)
+        dx = ((np.floor(ib[:, 2] - ib[:, 0]).astype(np.int32) // 10) // 2) \
+            .astype(np.float32)
+        dy = ((np.floor(ib[:, 3] - ib[:, 1]).astype(np.int32) // 10) // 2) \
+            .astype(np.float32)
+        out = np.stack([np.maximum(0.0, ib[:, 0] - dx),
+                        np.maximum(0.0, ib[:, 1] - dy),
+                        np.minimum(float(w), ib[:, 2] + dx),
+                        np.minimum(float(h), ib[:, 3] + dy)], -1)
+        return np.round(out).astype(np.int32)
+
+    def _reclassify_overflow(self, recs: list, dev_batch) -> None:
+        """Classify detections the fused graph's compaction budget dropped
+        (final_valid but cls_label == -1), patching recs in place.
+
+        The reference classifies EVERY kept detection
+        (`/root/reference/app.py:39-42`); the fused graph classifies at most
+        B*budget crops.  Overflow is rare (<1e-4 at production densities,
+        docs/performance.md), so this rare path re-runs the dropped crops
+        through the SAME device crop+classifier ops in K-slot chunks —
+        labels match the fused path's at any density."""
+        over = [(r, int(k)) for r, rec in enumerate(recs)
+                for k in np.nonzero(rec["final_valid"]
+                                    & (rec["cls_labels"] < 0))[0]]
+        if not over:
+            return
+        h, w = int(dev_batch.shape[1]), int(dev_batch.shape[2])
+        k_slots = self.max_batch * self.pipeline.classify_budget
+        for start in range(0, len(over), k_slots):
+            part = over[start:start + k_slots]
+            slot_img = np.zeros((k_slots,), np.int32)
+            slot_boxes = np.zeros((k_slots, 4), np.int32)
+            for j, (r, k) in enumerate(part):
+                slot_img[j] = r
+                slot_boxes[j] = self._host_inflate(
+                    recs[r]["boxes"][k:k + 1], w, h)[0]
+            labels, scores = self._cls_fn(self.params, dev_batch,
+                                          jnp.asarray(slot_img),
+                                          jnp.asarray(slot_boxes))
+            labels, scores = np.asarray(labels), np.asarray(scores)
+            for j, (r, k) in enumerate(part):
+                rec = recs[r]
+                for field in ("cls_labels", "cls_scores"):
+                    if not rec[field].flags.writeable:
+                        rec[field] = rec[field].copy()
+                rec["cls_labels"][k] = labels[j]
+                rec["cls_scores"][k] = scores[j]
 
     # ------------------------------------------------------------------
     def flatten(self, paths: Sequence[str],
@@ -208,8 +340,14 @@ def make_runner(det_engine_path: str | None = None,
         vit_params = ceng.params
     # attn_impl is a runtime choice, not a weight property: serving always
     # takes the fused-attention kernel (argmax-stable vs the module path,
-    # tests/test_fused_attention.py)
-    vit_spec = _dc.replace(vit_spec, attn_impl="fused")
+    # tests/test_fused_attention.py).  Sublane-hostile sequences (B/8's 785
+    # tokens) lane-pad to the next 128 multiple — masked-key padding, output
+    # unchanged (tests/test_vit_pad_tokens.py); B/16's 197 measured faster
+    # unpadded so short sequences stay as-is.
+    pad = 0
+    if vit_spec.tokens % 8 and vit_spec.tokens >= 512:
+        pad = -(-vit_spec.tokens // 128) * 128
+    vit_spec = _dc.replace(vit_spec, attn_impl="fused", pad_tokens=pad)
 
     pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
                             classify_budget=classify_budget, dtype=dtype)

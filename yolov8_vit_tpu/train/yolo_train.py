@@ -310,6 +310,106 @@ def make_lr_schedule(lr0: float, lrf: float, total_steps: int,
     return sched
 
 
+# --------------------------------------------------------------------------
+# ultralytics-parity optimizer: three param groups + per-group warmup
+# --------------------------------------------------------------------------
+
+def param_group_label(path: tuple, leaf) -> str:
+    """ultralytics `build_optimizer` partition
+    (the `model.train()` optimizer the reference delegates to at
+    `/root/reference/utils/trainYolo.py:33`):
+
+      'bias'   all bias vectors                       -> no decay, bias warmup
+      'norm'   BatchNorm/LayerNorm scale parameters   -> no decay
+      'weight' conv/linear kernels                    -> weight decay
+
+    `path` is a tuple of str pytree keys (flax param path), leaf the array.
+    """
+    name = str(path[-1]) if path else ""
+    if name == "bias":
+        return "bias"
+    modname = str(path[-2]) if len(path) >= 2 else ""
+    if name == "scale" or modname in ("bn", "norm"):
+        return "norm"
+    if getattr(leaf, "ndim", 0) >= 2:
+        return "weight"
+    return "norm"      # any other 1-D param (e.g. LN bias handled above)
+
+
+def make_yolo_optimizer(lr0: float, lrf: float, epochs: int,
+                        steps_per_epoch: int, warmup_steps: int,
+                        cos_lr: bool = False, weight_decay: float = 5e-4,
+                        momentum: float = 0.937,
+                        warmup_momentum: float = 0.8,
+                        warmup_bias_lr: float = 0.1):
+    """optax transform matching ultralytics SGD semantics per-update:
+
+      * decay ONLY on the 'weight' group (conv/linear kernels); BatchNorm
+        scales and every bias are decay-free;
+      * warmup (first `warmup_steps` batches): bias LR ramps DOWN from
+        `warmup_bias_lr` to lr(epoch), other groups ramp up from 0;
+        momentum ramps `warmup_momentum` -> `momentum`;
+      * nesterov momentum, torch update order (decay added to the gradient
+        before the momentum buffer, update = g + mu*v);
+      * per-EPOCH decay factor lf(epoch) = (1-e/E)*(1-lrf)+lrf (stairstep,
+        not per-step — ultralytics evaluates `self.lf(epoch)`), cosine
+        one-cycle when cos_lr.
+
+    Pinned numerically against torch.optim.SGD with the ultralytics group
+    construction in tests/test_yolo_optimizer.py.
+    """
+    import optax as _optax
+
+    def lf(epoch):
+        frac = jnp.asarray(epoch, jnp.float32) / max(float(epochs), 1.0)
+        if cos_lr:
+            return lrf + (1.0 - lrf) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return (1.0 - frac) * (1.0 - lrf) + lrf
+
+    def interp(ni, y0, y1):
+        """np.interp(ni, [0, nw], [y0, y1]) with clamping."""
+        if warmup_steps <= 0:
+            return y1
+        t = jnp.clip(jnp.asarray(ni, jnp.float32) / float(warmup_steps),
+                     0.0, 1.0)
+        return y0 + (y1 - y0) * t
+
+    def init(params):
+        return {"count": jnp.zeros((), jnp.int32),
+                "trace": jax.tree.map(jnp.zeros_like, params)}
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("make_yolo_optimizer requires params")
+        ni = state["count"]
+        epoch = (ni // max(steps_per_epoch, 1)).astype(jnp.float32)
+        base = lr0 * lf(epoch)
+        lr_w = interp(ni, 0.0, base)
+        lr_b = interp(ni, warmup_bias_lr, base)
+        mu = interp(ni, warmup_momentum, momentum)
+
+        labels = jax.tree_util.tree_map_with_path(
+            lambda p, l: param_group_label(
+                tuple(getattr(k, "key", getattr(k, "idx", k)) for k in p), l),
+            params)
+
+        def leaf_update(label, g, v, p):
+            g = g + weight_decay * p if label == "weight" else g
+            v_new = mu * v + g
+            upd = g + mu * v_new                     # nesterov
+            lr = lr_b if label == "bias" else lr_w
+            return -lr * upd, v_new
+
+        flat = jax.tree.map(leaf_update, labels, grads, state["trace"], params)
+        updates = jax.tree.map(lambda x: x[0], flat,
+                               is_leaf=lambda x: isinstance(x, tuple))
+        trace = jax.tree.map(lambda x: x[1], flat,
+                             is_leaf=lambda x: isinstance(x, tuple))
+        return updates, {"count": ni + 1, "trace": trace}
+
+    return _optax.GradientTransformation(init, update)
+
+
 def train(epochs: int, batch: int, data_root: str,
           cfg: DetectConfig = DetectConfig(variant="s"),
           lr0: float = 1e-4, weights: str | None = None,
@@ -347,16 +447,15 @@ def train(epochs: int, batch: int, data_root: str,
         metrics["preval"] = validate(model, params, val_ds, cfg)
         log_fn(f"val before training: {metrics['preval']}")
 
-    # SGD momentum; warmup + linear/cosine decay per the ultralytics recipe
-    # (reference lr0=lrf -> flat after warmup)
+    # ultralytics-parity SGD: 3 param groups (decay only on conv/linear
+    # weights; BN scale + all biases decay-free), bias-LR + momentum warmup
+    # ramps, nesterov, per-epoch stairstep decay (reference lr0=lrf -> flat
+    # after warmup)
     steps_per_epoch = max(len(train_ds) // max(batch, 1), 1)
     warmup_steps = (max(round(warmup_epochs * steps_per_epoch), 100)
                     if warmup_epochs > 0 else 0)
-    sched = make_lr_schedule(lr0, lrf, epochs * steps_per_epoch,
+    tx = make_yolo_optimizer(lr0, lrf, epochs, steps_per_epoch,
                              warmup_steps, cos_lr)
-    tx = optax.chain(optax.add_decayed_weights(5e-4),
-                     optax.trace(decay=0.937),
-                     optax.scale_by_schedule(lambda c: -sched(c)))
     opt_state = tx.init(params)
     steps = {cfg.input_size[0]: make_yolo_train_step(
         model, tx, cfg.input_size, cfg.reg_max, mesh=mesh)}
