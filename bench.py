@@ -119,12 +119,12 @@ def main() -> None:
     else:
         det_cfg = DetectConfig(
             variant="s" if args.mode in ("two_stage", "serve") else "n")
-        # B/8's 785 tokens lane-pad to 896 (masked keys, bit-stable output —
-        # tests/test_vit_pad_tokens.py); B/16's 197 measured faster unpadded
+        # pad_tokens stays 0: lane-padding B/8's 785 tokens to 896 measured
+        # SLOWER (29.0 -> 33.7 ms for 32 crops — the +14% padded-row FLOPs
+        # with no alignment win left to buy; docs/performance.md round 3)
         vit_spec = ViTSpec(patch=8 if args.vit == "b8" else 16,
                            quant="w8a" if args.quant else "none",
-                           attn_impl="fused",
-                           pad_tokens=896 if args.vit == "b8" else 0)
+                           attn_impl="fused")
         batch, iters = args.batch, args.iters
         img_hw = (720, 1280) if args.input == "720p" else (640, 640)
         dtype = jnp.bfloat16

@@ -284,3 +284,64 @@ def test_download_rfc5987_filename(tmp_path):
         assert path and os.path.basename(path) == "photo.jpg"
     finally:
         srv.shutdown()
+
+
+def test_logs_mobile_variant(service):
+    """`/logs?mobile=1` serves the landscape-rotate variant (the reference
+    ships it as `templates/index.html:12-46`); plain /logs does not carry
+    the rotate block."""
+    svc, base = service
+    plain = _get(base + "/logs").decode()
+    mobile = _get(base + "/logs?mobile=1").decode()
+    assert "orientation: landscape" not in plain
+    assert "orientation: landscape" in mobile
+    assert "rotate(90deg)" in mobile
+    # same chart wiring in both
+    for page in (plain, mobile):
+        assert "EventSource('/chart-data')" in page
+
+
+def test_map_renders_ingested_locations(service, tmp_path):
+    """Real-data branch of /map and /heatmap: labels ingested with lat/lng
+    through /getImage appear on the map (demo fallback otherwise)."""
+    svc, base = service
+    demo = _get(base + "/map").decode()
+
+    img_dir = tmp_path / "srv2"
+    img_dir.mkdir()
+    img = np.zeros((50, 60, 3), np.uint8)
+    cv2.imwrite(str(img_dir / "c2.jpg"), img)
+    import functools
+    import http.server
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(img_dir))
+    fs = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    fs_port = fs.server_address[1]
+    threading.Thread(target=fs.serve_forever, daemon=True).start()
+    try:
+        _post(base + "/getImage", {
+            "imageUrl": f"http://127.0.0.1:{fs_port}/c2.jpg",
+            "lat": 31.2304, "lng": 121.4737,
+            "objects": [{"sort": "broke", "xmin": 1, "ymin": 2,
+                         "xmax": 30, "ymax": 40}]})
+    finally:
+        fs.shutdown()
+    assert svc.label_locations == [
+        {"lat": 31.2304, "lng": 121.4737, "cls": "broke"}]
+    page = _get(base + "/map").decode()
+    assert "31.2304" in page and "121.4737" in page
+    assert page != demo
+    heat = _get(base + "/heatmap").decode()
+    assert "121.4737" in heat
+
+
+def test_ingest_location_geocode_and_bad_values(service):
+    svc, _ = service
+    svc.geocode_fn = lambda loc: ("addr", "120.5,30.25")
+    svc._ingest_location({"location": "somewhere"},
+                         [{"sort": "circle"}])
+    assert svc.label_locations[-1] == {"lat": 30.25, "lng": 120.5,
+                                      "cls": "circle"}
+    n = len(svc.label_locations)
+    svc._ingest_location({"lat": "not-a-float", "lng": 1.0}, [])
+    assert len(svc.label_locations) == n      # rejected, no crash

@@ -69,6 +69,10 @@ class InspectionService:
         self.training_epochs_left = 0   # reference global `epoch` (:33,:174-179)
         self._train_lock = threading.Lock()
         self.metrics_path = os.path.join(workdir, "train/result.json")
+        # real cover locations ingested via /getImage (payload lat/lng or a
+        # geocodable "location" string); /map and /heatmap render these when
+        # present, demo-sampled points otherwise
+        self.label_locations: list[dict] = []
 
     # ---- route handlers ---------------------------------------------------
     def route_upload(self, payload: dict):
@@ -122,8 +126,30 @@ class InspectionService:
             if due and self.retrain_fn is not None:
                 self._call_retrain(False)
 
+        self._ingest_location(payload, objects)
         threading.Thread(target=syc_retrain, daemon=True).start()
         return {"url": self.oss.getUrl("FuChuang/" + basename)}
+
+    def _ingest_location(self, payload: dict, objects: list) -> None:
+        """Record the label's geolocation when the /getImage payload carries
+        one — explicit {"lat","lng"} floats, or a "location" address string
+        resolved through the geocoder.  Feeds the real-data branch of /map
+        and /heatmap."""
+        lat = lng = None
+        try:
+            if "lat" in payload and "lng" in payload:
+                lat, lng = float(payload["lat"]), float(payload["lng"])
+            elif payload.get("location") and self.geocode_fn:
+                _, lnglat = self.geocode_fn(payload["location"])
+                if lnglat:
+                    lng_s, lat_s = lnglat.split(",")
+                    lat, lng = float(lat_s), float(lng_s)
+        except (TypeError, ValueError):
+            return
+        if lat is None:
+            return
+        cls = objects[0]["sort"] if objects else "good"
+        self.label_locations.append({"lat": lat, "lng": lng, "cls": cls})
 
     def route_map(self, query: dict) -> str:
         """GET /map — filterable marker map around a geocoded location
@@ -137,23 +163,38 @@ class InspectionService:
                 # geocoder returns "lng,lat" (AMap contract)
                 lng_s, lat_s = lnglat.split(",")
                 lat, lng = float(lat_s), float(lng_s)
-        rng = random.Random(0)
-        markers = [
-            {"lat": lat + rng.gauss(0, 0.5), "lng": lng + rng.gauss(0, 0.5),
-             "cls": rng.choice(CLASS_NAMES)}
-            for _ in range(100)]
+        if self.label_locations:
+            # real ingested-label locations (the reference renders only
+            # demo-sampled points, `/root/reference/app.py:113-142`;
+            # plumbing the ingested data through is the useful superset)
+            markers = list(self.label_locations)
+            if not location:
+                lat = sum(m["lat"] for m in markers) / len(markers)
+                lng = sum(m["lng"] for m in markers) / len(markers)
+        else:
+            rng = random.Random(0)
+            markers = [
+                {"lat": lat + rng.gauss(0, 0.5),
+                 "lng": lng + rng.gauss(0, 0.5),
+                 "cls": rng.choice(CLASS_NAMES)}
+                for _ in range(100)]
         return map_page(markers, (lat, lng), location)
 
     def route_heatmap(self) -> str:
         """GET /heatmap — density page (reference `templates/map.html` +
         static heatmapData.js); demo-sampled points, swap in real cover
         locations by overriding `heatmap_points`."""
-        rng = random.Random(1)
-        points = getattr(self, "heatmap_points", None) or [
-            {"lng": 116.4 + rng.gauss(0, 0.25),
-             "lat": 39.9 + rng.gauss(0, 0.18),
-             "count": rng.randint(1, 100)}
-            for _ in range(400)]
+        points = getattr(self, "heatmap_points", None)
+        if not points and self.label_locations:
+            points = [{"lng": m["lng"], "lat": m["lat"], "count": 10}
+                      for m in self.label_locations]
+        if not points:
+            rng = random.Random(1)
+            points = [
+                {"lng": 116.4 + rng.gauss(0, 0.25),
+                 "lat": 39.9 + rng.gauss(0, 0.18),
+                 "count": rng.randint(1, 100)}
+                for _ in range(400)]
         return heatmap_page(points)
 
     def route_train_now(self):
@@ -276,7 +317,10 @@ class InspectionService:
         if path == "/trainNow":
             return _json_response(start_response, self.route_train_now())
         if path == "/logs":
-            return _html_response(start_response, logs_page())
+            # ?mobile=1 serves the landscape-rotate variant (the reference
+            # ships it as a second template, `templates/index.html:12-46`)
+            return _html_response(
+                start_response, logs_page(mobile=bool(query.get("mobile"))))
         if path == "/chart-data":
             start_response("200 OK", [
                 ("Content-Type", "text/event-stream"),

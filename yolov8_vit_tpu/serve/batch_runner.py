@@ -340,14 +340,11 @@ def make_runner(det_engine_path: str | None = None,
         vit_params = ceng.params
     # attn_impl is a runtime choice, not a weight property: serving always
     # takes the fused-attention kernel (argmax-stable vs the module path,
-    # tests/test_fused_attention.py).  Sublane-hostile sequences (B/8's 785
-    # tokens) lane-pad to the next 128 multiple — masked-key padding, output
-    # unchanged (tests/test_vit_pad_tokens.py); B/16's 197 measured faster
-    # unpadded so short sequences stay as-is.
-    pad = 0
-    if vit_spec.tokens % 8 and vit_spec.tokens >= 512:
-        pad = -(-vit_spec.tokens // 128) * 128
-    vit_spec = _dc.replace(vit_spec, attn_impl="fused", pad_tokens=pad)
+    # tests/test_fused_attention.py).  pad_tokens is NOT auto-set: lane-
+    # padding B/8's 785 tokens measured slower end-to-end (the sequence
+    # kernels are already sublane-clean; docs/performance.md round 3) —
+    # callers can still opt in via the engine's vit_spec.
+    vit_spec = _dc.replace(vit_spec, attn_impl="fused")
 
     pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
                             classify_budget=classify_budget, dtype=dtype)

@@ -20,9 +20,23 @@ from __future__ import annotations
 import json
 
 
-def logs_page() -> str:
+# Mobile variant CSS: the reference ships a second logs page
+# (`/root/reference/templates/index.html:12-46`) whose only delta is a
+# landscape-rotate block (rotate the page 90deg and fill the viewport when a
+# phone is held landscape).  Same chart, same SSE wiring.
+_MOBILE_ROTATE_CSS = """
+@media only screen and (orientation: landscape) {
+  body{transform:rotate(90deg);transform-origin:top left;
+       width:100vh;height:100vw;overflow-x:hidden;overflow-y:auto;margin:0}
+  #chart{width:100%;height:100%}
+}
+"""
+
+
+def logs_page(mobile: bool = False) -> str:
+    extra = _MOBILE_ROTATE_CSS if mobile else ""
     return """<!doctype html><html><head><meta charset="utf-8">
-<title>Training Metrics</title><style>
+<title>Training Metrics</title><style>""" + extra + """
 body{font-family:system-ui;margin:2em;background:#fafafa}
 #chart{background:#fff;border:1px solid #ddd;border-radius:6px}
 .legend span{display:inline-block;margin-right:1.2em;font-size:13px}

@@ -416,7 +416,8 @@ def train(epochs: int, batch: int, data_root: str,
           max_gt: int = 32, log_fn: Callable[[str], None] = print,
           skip_preval: bool = False, use_ema: bool = True, mesh=None,
           lrf: float = 1.0, cos_lr: bool = False,
-          warmup_epochs: float = 3.0, multi_scale: bool = False):
+          warmup_epochs: float = 3.0, multi_scale: bool = False,
+          augment: bool = True, mosaic: float = 1.0):
     """Fine-tune (reference train(), `/root/reference/utils/trainYolo.py:6-35`).
 
     data_root: the fold0 directory (images/labels x train/val).
@@ -466,7 +467,7 @@ def train(epochs: int, batch: int, data_root: str,
     for epoch in range(epochs):
         losses = []
         for imgs, boxes, labels, mask in train_ds.batches(
-                batch, augment=True, seed=epoch):
+                batch, augment=augment, seed=epoch, mosaic=mosaic):
             sz = size
             if multi_scale:
                 sz = int(round(size * ms_rng.choice((0.75, 1.0, 1.25))
