@@ -193,17 +193,31 @@ def main() -> None:
             paths.append(p)
         runner = BatchRunner(pipe, params, max_batch=batch)
         runner.run_paths(paths[:batch])  # warm compile
-        # request-response loop (one batch per call).  NOTE: on a tunneled
-        # device this measures mostly the host->device image upload
-        # (~10 MB per 640px batch at tens of MB/s), not the framework —
-        # on directly-attached TPUs the device step dominates.
-        prof: dict = {}
+
+        # pure device step at serve shapes (device-resident input): the
+        # directly-attached projection — on this rig the stream number is
+        # tunnel-upload-bound (tens of MB/s for ~10 MB per 640px batch),
+        # which says nothing about the framework's serving capability
+        dev_imgs = jnp.asarray(np.stack(
+            [np.asarray(cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB))
+             for p in paths[:batch]]))
+        dev_iters = 3 if args.smoke else 30
+        barrier(runner._fn(runner.params, dev_imgs))
         t0 = time.perf_counter()
+        for _ in range(dev_iters):
+            out = runner._fn(runner.params, dev_imgs)
+        barrier(out)
+        device_step_ms = (time.perf_counter() - t0) / dev_iters * 1e3
+        direct_attach_est = batch / device_step_ms * 1e3
+
+        # streamed requests with CROSS-REQUEST pipelining: request N+1
+        # decodes + enqueues while N's results are in flight (run_stream)
+        prof: dict = {}
         loops = max(iters // 5, 1)
+        reqs = [paths[i * batch:(i + 1) * batch] for i in range(loops)]
         n_ok = 0
-        for i in range(loops):
-            res = runner.run_paths(paths[i * batch:(i + 1) * batch],
-                                   profile=prof)
+        t0 = time.perf_counter()
+        for res in runner.run_stream(reqs, profile=prof):
             n_ok += sum(r is not None for r in res)
         dt = time.perf_counter() - t0
         shutil.rmtree(tmp, ignore_errors=True)
@@ -214,8 +228,12 @@ def main() -> None:
         _emit("serve_stream_images_per_sec_per_chip", v, "images/s/chip",
               v / 1500.0, batch=batch, loops=loops, vit=vit_tag,
               device=device, smoke=args.smoke, profile_ms=prof,
-              note="end-to-end incl. host JPEG decode + device upload; "
-                   "profile_ms = per-request decode/enqueue/fetch buckets")
+              pipelined=True,
+              device_step_ms=round(device_step_ms, 2),
+              direct_attach_est_img_s=round(direct_attach_est, 1),
+              note="end-to-end incl. host JPEG decode + device upload, "
+                   "cross-request pipelined; direct_attach_est = device "
+                   "step alone (the non-tunnel serving capability)")
         return
 
     if args.mode == "detect":

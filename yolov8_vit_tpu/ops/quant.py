@@ -85,23 +85,32 @@ def quant_dense_pre(x: jnp.ndarray, w_i8: jnp.ndarray, w_scale: jnp.ndarray,
 _BM = 256  # query-rows per fused-kernel program
 
 
-def _quant_matmul_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
+def _quant_matmul_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *,
+                         silu: bool = False):
     """Fused: per-row activation quantization (VMEM-resident, int8 never
-    touches HBM) + int8 MXU matmul + rescale + bias."""
+    touches HBM) + int8 MXU matmul + rescale + bias (+ optional SiLU
+    epilogue — conv-style activations fuse here instead of a separate
+    elementwise pass)."""
     x_i8, s_x = quantize_act(x_ref[...].astype(jnp.float32))
     acc = jax.lax.dot_general(x_i8, w_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    o_ref[...] = (acc.astype(jnp.float32) * s_x * s_ref[...][None, :]
-                  + b_ref[...][None, :]).astype(o_ref.dtype)
+    y = (acc.astype(jnp.float32) * s_x * s_ref[...][None, :]
+         + b_ref[...][None, :])
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[...] = y.astype(o_ref.dtype)
 
 
 def quant_dense_fused(x: jnp.ndarray, w_i8: jnp.ndarray,
                       w_scale: jnp.ndarray, bias: jnp.ndarray,
+                      silu: bool = False,
                       interpret: bool | None = None) -> jnp.ndarray:
     """Pallas W8A8 dense: measured ~35% faster than the bf16 XLA matmul at
     ViT shapes (the unfused int8 path is *slower* — the activation-quantize
     elementwise passes cost more than int8 saves unless fused).  Bit-identical
-    to `quant_dense_pre`."""
+    to `quant_dense_pre` (+ SiLU when silu=True: the detector's 1x1
+    conv+SiLU blocks)."""
+    import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -117,7 +126,7 @@ def quant_dense_fused(x: jnp.ndarray, w_i8: jnp.ndarray,
     if m_pad != m:
         xm = jnp.pad(xm, ((0, m_pad - m), (0, 0)))
     out = pl.pallas_call(
-        _quant_matmul_kernel,
+        functools.partial(_quant_matmul_kernel, silu=silu),
         grid=(m_pad // _BM,),
         in_specs=[
             pl.BlockSpec((_BM, k), lambda i: (i, 0),
