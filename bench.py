@@ -73,6 +73,14 @@ def main() -> None:
                     help="camera frame size fed to the pipeline: '720p' "
                          "adds the real 1280x720 -> 640 letterbox resize "
                          "(production path); '640' is pre-sized input")
+    ap.add_argument("--dense", action="store_true",
+                    default=os.environ.get("BENCH_DENSE", "0") == "1",
+                    help="high-cover synthetic scene: thresholds + head "
+                         "priors tuned so final_valid saturates nms_topk "
+                         "(the classify budget overflows).  two_stage "
+                         "shows the static-shape graph is density-"
+                         "independent; serve shows the overflow-"
+                         "reclassify cost (overflow_ms)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -130,11 +138,36 @@ def main() -> None:
         dtype = jnp.bfloat16
 
     # ---- modes --------------------------------------------------------------
+    if args.dense and args.mode in ("two_stage", "serve"):
+        import dataclasses as _dc
+        det_cfg = _dc.replace(det_cfg, nms_conf=1e-6, conf_second=1e-6,
+                              nms_iou=0.995, custom_nms_iou=0.999)
+
+    def _densify_head(params):
+        """Random-init DFL heads collapse to one huge box per image; bias
+        the bins low + sharpen the convs so a dense scene of small disjoint
+        boxes actually comes out (same trick as the dense-scene test,
+        tests/test_batch_runner.py)."""
+        import dataclasses as _dc  # noqa: F401
+        det = jax.tree.map(np.asarray, params["det"])
+        head = det["params"]["detect"]
+        reg_max = det_cfg.reg_max
+        low = -2.0 * np.tile(np.arange(reg_max, dtype=np.float32), 4)
+        for i in range(3):
+            head[f"box{i}_2"]["kernel"] = head[f"box{i}_2"]["kernel"] * 3.0
+            head[f"box{i}_2"]["bias"] = low.astype(
+                head[f"box{i}_2"]["bias"].dtype)
+            head[f"cls{i}_2"]["kernel"] = head[f"cls{i}_2"]["kernel"] * 40.0
+        params["det"] = jax.tree.map(jnp.asarray, det)
+        return params
+
     if args.mode in ("two_stage", "serve"):
         from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
         pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
                                 classify_budget=args.budget, dtype=dtype)
         params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+        if args.dense:
+            params = _densify_head(params)
 
         if args.mode == "two_stage":
             images = jnp.asarray(rng.integers(
@@ -164,6 +197,16 @@ def main() -> None:
             p50 = lats[len(lats) // 2]
             p95 = lats[min(int(len(lats) * 0.95), len(lats) - 1)]
 
+            extra_density = {}
+            if args.dense:
+                out = jax.tree.map(np.asarray, pipe(params, images))
+                extra_density = {
+                    "dense": True,
+                    "mean_valid_per_img":
+                        round(float(out["final_valid"].sum()) / batch, 1),
+                    "overflowed":
+                        int(((out["final_valid"])
+                             & (out["cls_labels"] < 0)).sum())}
             _emit("two_stage_images_per_sec_per_chip", v, "images/s/chip",
                   v / 1500.0, batch=batch, iters=iters,
                   classify_budget=args.budget,
@@ -171,7 +214,8 @@ def main() -> None:
                   input=args.input,
                   p50_ms=round(p50, 2), p95_ms=round(p95, 2),
                   fetch_rtt_ms=round(rtts[len(rtts) // 2], 2),
-                  vit=vit_tag, device=device, smoke=args.smoke)
+                  vit=vit_tag, device=device, smoke=args.smoke,
+                  **extra_density)
             return
 
         # serve: host decode (native lib if built) + bucketed device

@@ -134,3 +134,18 @@ def test_engine_roundtrip_preserves_params(classify_engine):
     b = jax.tree.leaves(eng2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_export_cli_attaches_aot(tmp_path):
+    """`mt-export ... --aot B` writes per-shape executables into
+    <out>/aot/ and Engine registers them for the current platform."""
+    from yolov8_vit_tpu.runtime import export as ex
+    out = str(tmp_path / "deng")
+    ex.main(["detect", "--out", out, "--variant", "n", "--num-classes",
+             "3", "--imgsz", "64", "--topk", "16", "--aot", "1"])
+    import os
+    assert os.path.isdir(os.path.join(out, "aot"))
+    eng = Engine(out)
+    assert (1, 64, 64, 3) in eng._aot
+    num, bb, sc, lb = eng(np.zeros((1, 3, 64, 64), np.float32))
+    assert bb.shape == (1, 16, 4)

@@ -56,6 +56,11 @@ def export_detect(args) -> str:
     print(f"detect engine written to {path}")
     if args.stablehlo:
         export_stablehlo_detect(params, cfg, args.stablehlo)
+    if args.aot:
+        from yolov8_vit_tpu.runtime.engine import attach_aot
+        shapes = [(b, args.imgsz, args.imgsz, 3) for b in args.aot]
+        for p in attach_aot(path, shapes):
+            print(f"aot executable -> {p}")
     return path
 
 
@@ -192,6 +197,11 @@ def export_classify(args) -> str:
     if args.stablehlo:
         export_stablehlo_classify(params, spec, args.num_classes,
                                   args.stablehlo)
+    if args.aot:
+        from yolov8_vit_tpu.runtime.engine import attach_aot
+        shapes = [(b, spec.img_size, spec.img_size, 3) for b in args.aot]
+        for p in attach_aot(path, shapes):
+            print(f"aot executable -> {p}")
     return path
 
 
@@ -231,6 +241,13 @@ def main(argv=None):
     c.set_defaults(fn=export_classify)
 
     for p in (d, c):
+        p.add_argument("--aot", type=int, nargs="*", default=None,
+                       metavar="BATCH",
+                       help="serialize AOT executables for these batch "
+                            "sizes into <out>/aot/ (deserializeCudaEngine "
+                            "parity — Engine loads them without re-tracing"
+                            "; platform-specific, built for the current "
+                            "jax backend)")
         p.add_argument("--allow-pickle", action="store_true",
                        help="permit full unpickling of the checkpoint "
                             "(required for ultralytics .pt module pickles; "
