@@ -150,3 +150,27 @@ def test_s2d_stem_cell_matches_cellified_flat_stem():
     assert got.shape == ref.shape == (2, 8, 8, 32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_yolov8_cell_extent_b4_matches_b2():
+    """cell_extent="b4" (b3+b4 in cell layout) == the default "b2" path,
+    same param tree.  Measured SLOWER on hardware (the 4x embedded-kernel
+    FLOP redundancy on b3/b4's 128-256-lane convs outweighs the C=64
+    bottleneck wins at 80² — docs/performance.md round 3), kept as a
+    numerically-pinned A/B knob."""
+    import dataclasses
+    from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    spec = dataclasses.replace(YOLOV8_VARIANTS["n"], num_classes=5)
+    rng = np.random.default_rng(5)
+    cells = jnp.asarray(rng.standard_normal((1, 33, 33, 12)), jnp.float32)
+    m_b2 = YOLOv8(spec, fused=True, stem_s2d=True, cell_region=True)
+    m_b4 = YOLOv8(spec, fused=True, stem_s2d=True, cell_region=True,
+                  cell_extent="b4")
+    params = m_b2.init(jax.random.PRNGKey(0), cells)
+    p4 = m_b4.init(jax.random.PRNGKey(0), cells)
+    assert jax.tree.structure(params) == jax.tree.structure(p4)
+    out_b2 = m_b2.apply(params, cells)
+    out_b4 = m_b4.apply(params, cells)
+    for (br, cr), (bc, cc2) in zip(out_b2, out_b4):
+        np.testing.assert_allclose(bc, br, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(cc2, cr, rtol=1e-4, atol=1e-4)

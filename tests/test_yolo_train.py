@@ -174,3 +174,39 @@ def test_full_recipe_finetune_improves_map(fold):
         warmup_epochs=0.5, multi_scale=True)
     assert "final" in metrics and "preval" in metrics
     assert metrics["final"]["map50"] >= metrics["preval"]["map50"]
+
+
+AXON_PLUGIN = "/opt/axon/libaxon_pjrt.so"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(AXON_PLUGIN),
+                    reason="tunnel PJRT plugin absent")
+def test_yolo_recipe_learns_on_hardware():
+    """The training recipe actually IMPROVES mAP (VERDICT round-2 item 7):
+    from-scratch yolov8n on a learnable-scale synthetic shapes set reaches
+    real mAP50 under the reference's val protocol — ~3,600 augmented steps
+    on the chip (dispatch-bound; a CPU run of the same needs ~4 min, so
+    this is TPU-gated like the kernel/e2e gates).  The no-augment arm pins
+    the memorization ceiling; the aug arm trains through the full
+    mosaic/affine/HSV pipeline.  See tests/yolo_learns_helper.py for why
+    object scale (not step count) is the learnability condition."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)    # let sitecustomize register axon
+    run = subprocess.run(
+        [sys.executable, os.path.join(repo, "tests",
+                                      "yolo_learns_helper.py")],
+        capture_output=True, text=True, timeout=1800, env=env)
+    line = [ln for ln in run.stdout.splitlines()
+            if ln.startswith("YOLO_LEARNS")]
+    assert line, f"stdout:\n{run.stdout}\nstderr:\n{run.stderr[-2000:]}"
+    kv = dict(p.split("=") for p in line[0].split()[1:])
+    preval, aug, noaug = (float(kv[k]) for k in ("preval", "aug", "noaug"))
+    assert preval < 0.05
+    # full recipe improves mAP50 by a wide margin over the random start
+    assert aug >= preval + 0.3, line[0]
+    # optimizer+loss can fully fit the data (memorization ceiling)
+    assert noaug >= 0.9, line[0]

@@ -1,0 +1,75 @@
+"""Measure engine cold-start: load -> first result, AOT blob vs traced.
+
+Two phases (run this script twice in separate processes):
+  --prepare   build a production-shape classify engine (ViT-B/16 w8a) and
+              attach an AOT blob for batch 8 on the current platform
+  --measure [--no-aot]
+              time Engine() + first __call__ in THIS fresh process
+              (a trivial device op runs first so the tunnel handshake is
+              excluded; XLA persistent cache state is whatever is on disk —
+              run twice to see cold/warm-cache numbers)
+
+Records for docs/performance.md (VERDICT round-2 item 4 done-gate).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ENG = "/tmp/coldstart_engine"
+
+
+def prepare():
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+    from yolov8_vit_tpu.ops.quant import (prequantize_tree,
+                                          MLP_AND_ATTN_SUFFIXES)
+    from yolov8_vit_tpu.runtime.engine import save_engine, attach_aot
+    spec = ViTSpec(patch=16)
+    model = ViTClassifier(spec, 5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 224, 224, 3)))
+    qspec = dataclasses.replace(spec, quant="w8a", attn_impl="fused")
+    qparams = prequantize_tree(params, MLP_AND_ATTN_SUFFIXES)
+    save_engine(ENG, "classify", qparams,
+                {"vit_spec": dataclasses.asdict(qspec), "num_classes": 5})
+    for p in attach_aot(ENG, [(8, 224, 224, 3)]):
+        print("aot ->", p)
+
+
+def measure(use_aot: bool):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.utils import enable_compilation_cache
+    from yolov8_vit_tpu.utils.profiling import device_barrier
+    enable_compilation_cache()
+    float(jax.jit(lambda: jnp.zeros(()))())     # handshake, excluded
+    x = np.random.default_rng(0).random((8, 224, 224, 3)).astype(np.float32)
+    from yolov8_vit_tpu.runtime.engine import Engine
+    t0 = time.perf_counter()
+    eng = Engine(ENG)
+    if not use_aot:
+        eng._aot = {}
+    t1 = time.perf_counter()
+    out = eng(x)
+    device_barrier({"o": out})
+    t2 = time.perf_counter()
+    print(f"aot={use_aot}: load {t1-t0:.2f}s, first result "
+          f"{t2-t1:.2f}s, total {t2-t0:.2f}s")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prepare", action="store_true")
+    ap.add_argument("--measure", action="store_true")
+    ap.add_argument("--no-aot", action="store_true")
+    a = ap.parse_args()
+    if a.prepare:
+        prepare()
+    if a.measure:
+        measure(not a.no_aot)

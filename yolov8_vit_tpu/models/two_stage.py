@@ -59,6 +59,9 @@ class TwoStagePipeline:
     # docs/performance.md round-2 notes; the "cell" mode instead keeps the
     # *activations* in cell layout across b1+b2, which measured faster.)
     stem_mode: str = "cell"
+    # how deep the cell-layout region extends ("b2" | "b4",
+    # models/yolov8.py cell_extent; only meaningful with stem_mode="cell")
+    cell_extent: str = "b2"
 
     @property
     def detector(self) -> YOLOv8:
@@ -67,7 +70,8 @@ class TwoStagePipeline:
                                    reg_max=self.det_cfg.reg_max,
                                    strides=self.det_cfg.strides)
         return YOLOv8(spec, fused=True, stem_s2d=self.stem_mode != "flat",
-                      cell_region=self.stem_mode == "cell")
+                      cell_region=self.stem_mode == "cell",
+                      cell_extent=self.cell_extent)
 
     @property
     def classifier(self) -> ViTClassifier:

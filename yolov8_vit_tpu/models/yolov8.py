@@ -384,6 +384,10 @@ class YOLOv8(nn.Module):
     # a quarter of the MXU) in 2x2-cell layout — same params, same
     # arithmetic, ~2 ms faster at 640/batch-8 (ops/cellconv.py)
     cell_region: bool = False
+    # "b2" decellifies after b2 (the shipping config); "b4" keeps b3+b4 in
+    # cell layout too — b4's bottleneck convs are C=64 at 80², the same
+    # lane-starved case the cell trick targets (A/B knob)
+    cell_extent: str = "b2"
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -405,7 +409,13 @@ class YOLOv8(nn.Module):
             xc = S2DStemCell(_ch(64, s), name="b0")(img, train)
             xc = CellConvBlock(_ch(128, s), 3, 2, name="b1")(xc, train)
             xc = CellC2f(_ch(128, s), _n(3, s), True, name="b2")(xc, train)
-            x = decellify(xc)
+            if self.cell_extent == "b4":
+                xc = CellConvBlock(_ch(256, s), 3, 2, name="b3")(xc, train)
+                xc = CellC2f(_ch(256, s), _n(6, s), True, name="b4")(xc,
+                                                                     train)
+                p3 = decellify(xc)
+            else:
+                x = decellify(xc)
         elif self.stem_s2d:
             assert fused, "s2d stem is an inference-path (fused) feature"
             x = S2DStem(_ch(64, s), name="b0")(img, train)   # P1
@@ -415,8 +425,9 @@ class YOLOv8(nn.Module):
             x = conv(64, 3, 2, "b0")(img, train)             # P1
             x = conv(128, 3, 2, "b1")(x, train)              # P2
             x = c2f(128, 3, True, "b2")(x, train)
-        x = conv(256, 3, 2, "b3")(x, train)                  # P3
-        p3 = c2f(256, 6, True, "b4")(x, train)
+        if not (self.cell_region and self.cell_extent == "b4"):
+            x = conv(256, 3, 2, "b3")(x, train)              # P3
+            p3 = c2f(256, 6, True, "b4")(x, train)
         x = conv(512, 3, 2, "b5")(p3, train)                 # P4
         p4 = c2f(512, 6, True, "b6")(x, train)
         x = conv(1024, 3, 2, "b7")(p4, train)                # P5
