@@ -162,3 +162,19 @@ def test_flatten_contract(runner, tmp_path):
     objs = runner.to_objects(results[0])
     assert all(set(o) == {"sort", "xmin", "ymin", "xmax", "ymax"}
                for o in objs)
+
+
+def test_run_stream_matches_run_paths(runner, tmp_path):
+    """Cross-request pipelining must not change results or order."""
+    paths = _imgs(tmp_path, [(64, 64), (48, 80), (64, 64), (48, 80),
+                             (64, 64), (64, 64)])
+    reqs = [paths[:2], paths[2:5], paths[5:]]
+    streamed = list(runner.run_stream(reqs))
+    assert len(streamed) == 3
+    for req, res in zip(reqs, streamed):
+        ref = runner.run_paths(req)
+        assert len(res) == len(req)
+        for a, b in zip(res, ref):
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
+            np.testing.assert_array_equal(a["final_valid"],
+                                          b["final_valid"])

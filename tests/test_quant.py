@@ -101,3 +101,20 @@ def test_w8_vit_close_to_f32():
     spread = a.max() - a.min() + 1e-6
     assert np.abs(b - a).max() / spread < 0.15
     np.testing.assert_array_equal(b.argmax(-1), a.argmax(-1))
+
+
+def test_quant_dense_fused_silu_epilogue():
+    """silu=True fuses the conv-style SiLU into the W8A8 kernel: output ==
+    silu(quant_dense_pre(x, w)) (bit-identical quantization path)."""
+    from yolov8_vit_tpu.ops.quant import (quantize_weight, quant_dense_pre,
+                                          quant_dense_fused)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(300, 96)), jnp.float32)  # pads to 512
+    w = jnp.asarray(rng.normal(size=(96, 64)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    wi8, ws = quantize_weight(w)
+    ref = quant_dense_pre(x, wi8, ws, b)
+    ref = ref * jax.nn.sigmoid(ref)
+    got = quant_dense_fused(x, wi8, ws, b, silu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
