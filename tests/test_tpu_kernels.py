@@ -24,8 +24,11 @@ AXON_PLUGIN = "/opt/axon/libaxon_pjrt.so"
 def test_pallas_kernels_on_hardware():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)   # let sitecustomize register axon
+    # generous timeout: the tunnel handshake alone has been observed at
+    # 4-10 min under load, before any of the helper's kernel compiles
+    # (same reasoning as the 1800 s driver-e2e budget)
     run = subprocess.run(
         ["python", os.path.join(REPO, "tests", "tpu_kernels_helper.py")],
-        capture_output=True, text=True, timeout=1100, env=env)
+        capture_output=True, text=True, timeout=1800, env=env)
     assert "KERNELS_MATCH" in run.stdout, (
         f"stdout:\n{run.stdout}\nstderr:\n{run.stderr[-2000:]}")

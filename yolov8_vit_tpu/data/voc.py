@@ -28,7 +28,14 @@ from yolov8_vit_tpu.config import LABEL_MAPPING
 # --------------------------------------------------------------------------
 
 def indent(elem: ET.Element, level: int = 0) -> None:
-    """Pretty-print helper (two-space indents), reference-identical output."""
+    """Pretty-print helper (two-space indents), reference-identical output.
+
+    This is the stock ElementTree pretty-print recipe (the same widely
+    published idiom the reference pasted at
+    `/root/reference/utils/utils.py:229-245`); byte-identical XML output
+    is the spec here — downstream consumers diff annotation files — so
+    the exact text/tail placement is deliberate and pinned by
+    tests/test_data_voc.py."""
     i = "\n" + level * "  "
     if len(elem):
         if not elem.text or not elem.text.strip():
