@@ -1,8 +1,11 @@
 """Measure engine cold-start: load -> first result, AOT blob vs traced.
 
-Two phases (run this script twice in separate processes):
-  --prepare   build a production-shape classify engine (ViT-B/16 w8a) and
-              attach an AOT blob for batch 8 on the current platform
+Phases (separate processes):
+  --prepare   build a production-shape classify engine (ViT-B/16 w8a) on
+              the CPU backend (param init compiles are expensive over the
+              tunnel and irrelevant to the artifact)
+  --attach    attach an AOT blob for batch 8 on the CURRENT platform (run
+              on the TPU; lowering is host-side, no device compiles)
   --measure [--no-aot]
               time Engine() + first __call__ in THIS fresh process
               (a trivial device op runs first so the tunnel handshake is
@@ -24,11 +27,12 @@ ENG = "/tmp/coldstart_engine"
 def prepare():
     import dataclasses
     import jax
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
     from yolov8_vit_tpu.ops.quant import (prequantize_tree,
                                           MLP_AND_ATTN_SUFFIXES)
-    from yolov8_vit_tpu.runtime.engine import save_engine, attach_aot
+    from yolov8_vit_tpu.runtime.engine import save_engine
     spec = ViTSpec(patch=16)
     model = ViTClassifier(spec, 5)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
@@ -37,7 +41,14 @@ def prepare():
     qparams = prequantize_tree(params, MLP_AND_ATTN_SUFFIXES)
     save_engine(ENG, "classify", qparams,
                 {"vit_spec": dataclasses.asdict(qspec), "num_classes": 5})
-    for p in attach_aot(ENG, [(8, 224, 224, 3)]):
+    print("engine ->", ENG)
+
+
+def attach():
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.runtime.engine import attach_aot
+    # bf16: the production serving dtype
+    for p in attach_aot(ENG, [(8, 224, 224, 3)], dtype=jnp.bfloat16):
         print("aot ->", p)
 
 
@@ -52,7 +63,7 @@ def measure(use_aot: bool):
     x = np.random.default_rng(0).random((8, 224, 224, 3)).astype(np.float32)
     from yolov8_vit_tpu.runtime.engine import Engine
     t0 = time.perf_counter()
-    eng = Engine(ENG)
+    eng = Engine(ENG, dtype=jnp.bfloat16)
     if not use_aot:
         eng._aot = {}
     t1 = time.perf_counter()
@@ -66,10 +77,13 @@ def measure(use_aot: bool):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--prepare", action="store_true")
+    ap.add_argument("--attach", action="store_true")
     ap.add_argument("--measure", action="store_true")
     ap.add_argument("--no-aot", action="store_true")
     a = ap.parse_args()
     if a.prepare:
         prepare()
+    if a.attach:
+        attach()
     if a.measure:
         measure(not a.no_aot)

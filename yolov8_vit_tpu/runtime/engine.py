@@ -165,6 +165,15 @@ class Engine:
         from yolov8_vit_tpu.models.vit import vit_compiler_options
         self._copts = (vit_compiler_options(self.vit_spec)
                        if self.kind == "classify" else None)
+        if (self._copts is None and self.kind == "classify"
+                and self.vit_spec.attn_impl == "fused"
+                and jnp.dtype(dtype).itemsize >= 4
+                and jax.default_backend() == "tpu"):
+            # the fused attention kernel's per-program buffers exceed the
+            # default 16 MB scoped-VMEM limit in f32 at batch>=4 (measured:
+            # 17.8 MB at (8, 197, 768) f32); production runs bf16 where the
+            # default fits, but an f32 Engine must still compile
+            self._copts = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
         self._fn = jax.jit(self._forward, compiler_options=self._copts)
         # AOT registry: serialized executables for this platform, keyed by
         # NHWC input shape (deserializeCudaEngine parity — __call__ uses

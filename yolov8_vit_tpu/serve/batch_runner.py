@@ -260,9 +260,17 @@ class BatchRunner:
         if not over:
             return
         h, w = int(dev_batch.shape[1]), int(dev_batch.shape[2])
-        k_slots = self.max_batch * self.pipeline.classify_budget
-        for start in range(0, len(over), k_slots):
+        k_small = self.max_batch * self.pipeline.classify_budget
+        # two chunk sizes (each compiles once): small keeps the common
+        # couple-of-crops overflow cheap; large (8x) bounds the device
+        # round-trips on pathological dense scenes (a 93-box/frame bench
+        # scene overflowed ~711 crops -> 23 dispatches at small-only)
+        k_large = k_small * 8
+        start = 0
+        while start < len(over):
+            k_slots = k_large if len(over) - start > k_small else k_small
             part = over[start:start + k_slots]
+            start += len(part)
             slot_img = np.zeros((k_slots,), np.int32)
             slot_boxes = np.zeros((k_slots, 4), np.int32)
             for j, (r, k) in enumerate(part):
