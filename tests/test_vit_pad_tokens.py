@@ -56,3 +56,13 @@ def test_spec_validation():
         _spec(attn_impl="pallas", pad_tokens=24)
     assert _spec(pad_tokens=24).seq_len == 24
     assert _spec().seq_len == _spec().tokens == 17
+
+
+def test_vit_compiler_options_gating():
+    """The scoped-VMEM raise applies only to lane-padded fused specs on
+    the TPU backend (the CPU backend rejects TPU flags)."""
+    from yolov8_vit_tpu.models.vit import vit_compiler_options
+    spec = ViTSpec(patch=8, attn_impl="fused", pad_tokens=896)
+    # CPU backend (the test env): always None
+    assert vit_compiler_options(spec) is None
+    assert vit_compiler_options(ViTSpec(patch=16)) is None
