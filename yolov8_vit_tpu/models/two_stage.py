@@ -62,6 +62,9 @@ class TwoStagePipeline:
     # how deep the cell-layout region extends ("b2" | "b4",
     # models/yolov8.py cell_extent; only meaningful with stem_mode="cell")
     cell_extent: str = "b2"
+    # explicit YOLOv8Spec field overrides as ((name, value), ...) — custom
+    # depth/width scales beyond the named variants (engine meta "det_spec")
+    det_overrides: tuple = ()
 
     @property
     def detector(self) -> YOLOv8:
@@ -69,6 +72,8 @@ class TwoStagePipeline:
                                    num_classes=self.det_cfg.num_classes,
                                    reg_max=self.det_cfg.reg_max,
                                    strides=self.det_cfg.strides)
+        if self.det_overrides:
+            spec = dataclasses.replace(spec, **dict(self.det_overrides))
         return YOLOv8(spec, fused=True, stem_s2d=self.stem_mode != "flat",
                       cell_region=self.stem_mode == "cell",
                       cell_extent=self.cell_extent)

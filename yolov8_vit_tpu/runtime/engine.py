@@ -29,6 +29,12 @@ Engine kinds:
   "classify"  ViT wrapper; input NCHW/NHWC normalized [-1,1]; output logits
               (the reference's class.onnx contract,
               `/root/reference/utils/trainClass.py:520-542`).
+  "two_stage" the whole fused pipeline (letterbox -> detect -> NMS ->
+              crop -> classify) as ONE artifact: input uint8 RGB frames
+              (any fixed size), outputs the TwoStagePipeline dict — the
+              deployable unit the reference assembles at serve time from
+              two separate artifacts (`/root/reference/app.py:27-31`).
+              Build with `merge_two_stage_engine` / `mt-export two-stage`.
 """
 from __future__ import annotations
 
@@ -47,6 +53,8 @@ from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
 from yolov8_vit_tpu.runtime.detector import decode_predictions
 
 DETECT_OUTPUTS = ("num_dets", "bboxes", "scores", "labels")
+TWO_STAGE_OUTPUTS = ("num_dets", "boxes", "det_scores", "det_labels",
+                     "final_valid", "cls_labels", "cls_scores")
 
 
 def save_engine(path: str, kind: str, params: Any, meta: dict) -> str:
@@ -95,15 +103,45 @@ def attach_aot(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
     params_abs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         eng.params)
+    in_dtype = eng._input_dtype
     written = []
     for shp in input_shapes:
         exp = jax_export.export(jax.jit(eng._forward))(
-            params_abs, jax.ShapeDtypeStruct(tuple(shp), dtype))
-        out = os.path.join(adir, _aot_name(tuple(shp), dtype, platform))
+            params_abs, jax.ShapeDtypeStruct(tuple(shp), in_dtype))
+        out = os.path.join(adir, _aot_name(tuple(shp), in_dtype, platform))
         with open(out, "wb") as f:
             f.write(exp.serialize())
         written.append(out)
     return written
+
+
+def merge_two_stage_engine(out_path: str, detect_engine: str,
+                           classify_engine: str,
+                           classify_budget: int = 4) -> str:
+    """Combine a detect engine + a classify engine into ONE deployable
+    two-stage artifact (the reference assembles the pair at serve time,
+    `/root/reference/app.py:27-31`; this bakes the composition).  The
+    merged engine runs the fused letterbox->detect->NMS->crop->classify
+    graph on raw uint8 frames."""
+    def read(p):
+        with open(os.path.join(p, "meta.json")) as f:
+            meta = json.load(f)
+        with open(os.path.join(p, "params.msgpack"), "rb") as f:
+            params = flax.serialization.msgpack_restore(f.read())
+        return meta, params
+
+    meta_d, params_d = read(detect_engine)
+    meta_c, params_c = read(classify_engine)
+    if meta_d.get("kind") != "detect" or meta_c.get("kind") != "classify":
+        raise ValueError("merge needs a detect engine and a classify engine")
+    meta = {"detect_cfg": meta_d.get("detect_cfg", {}),
+            "vit_spec": meta_c.get("vit_spec", {}),
+            "num_classes": meta_c.get("num_classes", 5),
+            "classify_budget": classify_budget}
+    if "det_spec" in meta_d:      # custom depth/width scales
+        meta["det_spec"] = meta_d["det_spec"]
+    return save_engine(out_path, "two_stage",
+                       {"det": params_d, "vit": params_c}, meta)
 
 
 def _maybe_nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
@@ -150,6 +188,25 @@ class Engine:
             s = self.vit_spec.img_size
             self.inp_info = [type("Io", (), {"shape": (1, 3, s, s)})()]
             self._desired = ["output"]
+        elif self.kind == "two_stage":
+            from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
+            cfg_kw = dict(self.meta.get("detect_cfg", {}))
+            for key in ("input_size", "strides"):
+                if key in cfg_kw:
+                    cfg_kw[key] = tuple(cfg_kw[key])
+            self.det_cfg = DetectConfig(**cfg_kw)
+            self.vit_spec = ViTSpec(**self.meta.get("vit_spec", {}))
+            self.num_classes = self.meta.get("num_classes", 5)
+            self.model = TwoStagePipeline(
+                det_cfg=self.det_cfg, vit_spec=self.vit_spec,
+                num_classes=self.num_classes,
+                classify_budget=self.meta.get("classify_budget", 4),
+                det_overrides=tuple(
+                    sorted(self.meta.get("det_spec", {}).items())),
+                dtype=dtype)
+            h, w = self.det_cfg.input_size
+            self.inp_info = [type("Io", (), {"shape": (1, 3, h, w)})()]
+            self._desired = list(TWO_STAGE_OUTPUTS)
         else:
             raise ValueError(f"unknown engine kind {self.kind!r}")
 
@@ -164,8 +221,8 @@ class Engine:
         # output selection (set_desired) is host-side, after the call
         from yolov8_vit_tpu.models.vit import vit_compiler_options
         self._copts = (vit_compiler_options(self.vit_spec)
-                       if self.kind == "classify" else None)
-        if (self._copts is None and self.kind == "classify"
+                       if self.kind in ("classify", "two_stage") else None)
+        if (self._copts is None and self.kind in ("classify", "two_stage")
                 and self.vit_spec.attn_impl == "fused"
                 and jnp.dtype(dtype).itemsize >= 4
                 and jax.default_backend() == "tpu"):
@@ -177,7 +234,11 @@ class Engine:
         self._fn = jax.jit(self._forward, compiler_options=self._copts)
         # AOT registry: serialized executables for this platform, keyed by
         # NHWC input shape (deserializeCudaEngine parity — __call__ uses
-        # these without re-tracing the model)
+        # these without re-tracing the model).  The registry matches on the
+        # INPUT dtype: uint8 frames for two_stage, the activation dtype
+        # otherwise.
+        self._input_dtype = (jnp.uint8 if self.kind == "two_stage"
+                             else jnp.dtype(dtype))
         self._aot: dict[tuple, str] = {}
         self._aot_fns: dict[tuple, Any] = {}
         adir = os.path.join(path, "aot")
@@ -186,7 +247,7 @@ class Engine:
             for name in os.listdir(adir):
                 parsed = _parse_aot_name(name)
                 if parsed and parsed[2] == backend \
-                        and parsed[1] == jnp.dtype(dtype).name:
+                        and parsed[1] == jnp.dtype(self._input_dtype).name:
                     self._aot[parsed[0]] = os.path.join(adir, name)
 
     # ---- TRTModule API ----------------------------------------------------
@@ -197,7 +258,9 @@ class Engine:
 
     def __call__(self, tensor):
         x = _maybe_nchw_to_nhwc(jnp.asarray(tensor))
-        x = x.astype(self.dtype)
+        # two_stage consumes raw uint8 frames (the in-graph letterbox/crop
+        # ops normalize); other kinds cast to the activation dtype
+        x = x.astype(self._input_dtype)
         key = tuple(x.shape)
         if key in self._aot:
             fn = self._aot_fns.get(key)
@@ -220,5 +283,7 @@ class Engine:
             num, boxes, scores, labels = decode_predictions(head, self.det_cfg)
             return {"num_dets": num, "bboxes": boxes,
                     "scores": scores, "labels": labels}
+        if self.kind == "two_stage":
+            return self.model(params, x)       # TwoStagePipeline.__call__
         logits = self.model.apply(params, x)
         return {"output": logits}

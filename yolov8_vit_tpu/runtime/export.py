@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 
@@ -240,7 +241,33 @@ def main(argv=None):
                         "C++ PJRT driver")
     c.set_defaults(fn=export_classify)
 
-    for p in (d, c):
+    t = sub.add_parser("two-stage",
+                       help="merge detect + classify engines into one "
+                            "deployable fused-pipeline artifact")
+    t.add_argument("--detect-engine", required=True)
+    t.add_argument("--classify-engine", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--budget", type=int, default=4,
+                   help="classify slots per image (batch-averaged)")
+
+    def export_two_stage(args):
+        from yolov8_vit_tpu.runtime.engine import (merge_two_stage_engine,
+                                                   attach_aot)
+        path = merge_two_stage_engine(args.out, args.detect_engine,
+                                      args.classify_engine, args.budget)
+        print(f"two-stage engine written to {path}")
+        if args.aot:
+            import json as _json
+            with open(os.path.join(path, "meta.json")) as f:
+                h, w = _json.load(f)["detect_cfg"].get("input_size",
+                                                       [640, 640])
+            for p in attach_aot(path, [(b, h, w, 3) for b in args.aot]):
+                print(f"aot executable -> {p}")
+        return path
+
+    t.set_defaults(fn=export_two_stage)
+
+    for p in (d, c, t):
         p.add_argument("--aot", type=int, nargs="*", default=None,
                        metavar="BATCH",
                        help="serialize AOT executables for these batch "
