@@ -326,7 +326,7 @@ def test_map_renders_ingested_locations(service, tmp_path):
                          "xmax": 30, "ymax": 40}]})
     finally:
         fs.shutdown()
-    assert svc.label_locations == [
+    assert list(svc.label_locations) == [
         {"lat": 31.2304, "lng": 121.4737, "cls": "broke"}]
     page = _get(base + "/map").decode()
     assert "31.2304" in page and "121.4737" in page
@@ -345,3 +345,36 @@ def test_ingest_location_geocode_and_bad_values(service):
     n = len(svc.label_locations)
     svc._ingest_location({"lat": "not-a-float", "lng": 1.0}, [])
     assert len(svc.label_locations) == n      # rejected, no crash
+
+
+def test_upload_download_pool_is_bounded(service, monkeypatch):
+    """route_upload must fan out through a bounded pool, not one thread per
+    URL (the reference's unbounded version is a documented weakness,
+    SURVEY.md §5), with per-URL failure isolation."""
+    svc, base = service
+    svc.DOWNLOAD_POOL_SIZE = 4
+
+    lock = threading.Lock()
+    state = {"live": 0, "peak": 0, "calls": 0}
+
+    def fake_download(url, folder, save_flag=True):
+        with lock:
+            state["live"] += 1
+            state["calls"] += 1
+            state["peak"] = max(state["peak"], state["live"])
+        time.sleep(0.02)
+        try:
+            if url.endswith("7"):       # every 10th URL fails...
+                raise RuntimeError("boom")
+            return False                # ...others "fail" quietly
+        finally:
+            with lock:
+                state["live"] -= 1
+
+    monkeypatch.setattr("yolov8_vit_tpu.serve.app.download_images",
+                        fake_download)
+    urls = [{"k": f"http://x.invalid/img{i}"} for i in range(100)]
+    out = _post(base + "/", {"urls": urls})
+    assert state["calls"] == 100          # every URL attempted despite errors
+    assert state["peak"] <= 4             # concurrency bounded by the pool
+    assert out == {"output": [], "note": "no engine configured"}

@@ -21,6 +21,8 @@ import os
 import random
 import threading
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 from wsgiref.simple_server import make_server, WSGIRequestHandler
 
@@ -56,6 +58,10 @@ class InspectionService:
     """The serving application.  Wire it to real engines via the `runner`
     callable, or leave None for an echo backend (useful in tests)."""
 
+    #: max concurrent URL downloads in route_upload (class attr so tests
+    #: can shrink it to observe the bound)
+    DOWNLOAD_POOL_SIZE = 8
+
     def __init__(self, workdir: str = ".",
                  runner: Callable | None = None,
                  retrain_fn: Callable | None = None,
@@ -71,8 +77,12 @@ class InspectionService:
         self.metrics_path = os.path.join(workdir, "train/result.json")
         # real cover locations ingested via /getImage (payload lat/lng or a
         # geocodable "location" string); /map and /heatmap render these when
-        # present, demo-sampled points otherwise
-        self.label_locations: list[dict] = []
+        # present, demo-sampled points otherwise.  Bounded (one entry per
+        # upload for the life of the process would grow without limit) and
+        # lock-guarded: appends happen on request-handler threads while /map
+        # and /heatmap snapshot concurrently.
+        self.label_locations: deque[dict] = deque(maxlen=10_000)
+        self._locations_lock = threading.Lock()
 
     # ---- route handlers ---------------------------------------------------
     def route_upload(self, payload: dict):
@@ -82,13 +92,22 @@ class InspectionService:
             return {"错误": "我需要post请求"}
         input_dir = os.path.join(self.workdir, "input")
         os.makedirs(input_dir, exist_ok=True)
-        threads = [threading.Thread(target=download_images,
-                                    args=(list(u.values())[0], input_dir))
-                   for u in urls]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        # Bounded pool, NOT thread-per-URL: the reference spawns one thread
+        # per URL with no cap (`/root/reference/app.py:50-59`, a documented
+        # weakness, SURVEY.md §5) — 1,000 URLs would mean 1,000 live threads.
+        # download_images carries its own 10 s timeout and returns False on
+        # failure, so one bad URL can neither hang nor poison the batch.
+        with ThreadPoolExecutor(max_workers=self.DOWNLOAD_POOL_SIZE) as pool:
+            futures = [pool.submit(download_images, list(u.values())[0],
+                                   input_dir)
+                       for u in urls]
+            for f in futures:
+                # per-URL failure isolation: download_images returns False
+                # on failure, but a raising downloader must not abort the
+                # rest of the batch either
+                exc = f.exception()
+                if exc is not None:
+                    print(f"download error: {exc}")
         if self.runner is None:
             return {"output": [], "note": "no engine configured"}
         return self.runner(input_dir)
@@ -149,7 +168,12 @@ class InspectionService:
         if lat is None:
             return
         cls = objects[0]["sort"] if objects else "good"
-        self.label_locations.append({"lat": lat, "lng": lng, "cls": cls})
+        with self._locations_lock:
+            self.label_locations.append({"lat": lat, "lng": lng, "cls": cls})
+
+    def _snapshot_locations(self) -> list[dict]:
+        with self._locations_lock:
+            return list(self.label_locations)
 
     def route_map(self, query: dict) -> str:
         """GET /map — filterable marker map around a geocoded location
@@ -163,11 +187,11 @@ class InspectionService:
                 # geocoder returns "lng,lat" (AMap contract)
                 lng_s, lat_s = lnglat.split(",")
                 lat, lng = float(lat_s), float(lng_s)
-        if self.label_locations:
+        markers = self._snapshot_locations()
+        if markers:
             # real ingested-label locations (the reference renders only
             # demo-sampled points, `/root/reference/app.py:113-142`;
             # plumbing the ingested data through is the useful superset)
-            markers = list(self.label_locations)
             if not location:
                 lat = sum(m["lat"] for m in markers) / len(markers)
                 lng = sum(m["lng"] for m in markers) / len(markers)
@@ -185,9 +209,9 @@ class InspectionService:
         static heatmapData.js); demo-sampled points, swap in real cover
         locations by overriding `heatmap_points`."""
         points = getattr(self, "heatmap_points", None)
-        if not points and self.label_locations:
+        if not points:
             points = [{"lng": m["lng"], "lat": m["lat"], "count": 10}
-                      for m in self.label_locations]
+                      for m in self._snapshot_locations()]
         if not points:
             rng = random.Random(1)
             points = [
