@@ -208,3 +208,37 @@ def test_two_stage_engine_aot(detect_engine, classify_engine, tmp_path):
     eng._fn = eng._forward = None     # would TypeError on fallback
     got = np.asarray(eng(imgs)[1])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_aot_dtype_keying(detect_engine, classify_engine, tmp_path):
+    """An AOT blob only matches the activation dtype it was traced at: a
+    bf16 two_stage Engine must not silently execute an f32-traced blob
+    (both have uint8 INPUTS — matching on input dtype alone was the round-3
+    advisor finding), and an Engine finding only mismatched blobs warns."""
+    import os
+    from yolov8_vit_tpu.runtime.engine import (merge_two_stage_engine,
+                                               attach_aot)
+    out = str(tmp_path / "ts3")
+    merge_two_stage_engine(out, detect_engine, classify_engine)
+    written = attach_aot(out, [(1, 64, 64, 3)], dtype=jnp.float32)
+    assert "uint8-float32" in written[0]
+
+    assert (1, 64, 64, 3) in Engine(out, dtype=jnp.float32)._aot
+    with pytest.warns(UserWarning, match="none match dtype bfloat16"):
+        eng = Engine(out, dtype=jnp.bfloat16)
+    assert eng._aot == {}
+
+    # attaching for bf16 adds a second blob; each Engine picks its own
+    attach_aot(out, [(1, 64, 64, 3)], dtype=jnp.bfloat16)
+    for dt, tag in ((jnp.float32, "uint8-float32"),
+                    (jnp.bfloat16, "uint8-bfloat16")):
+        reg = Engine(out, dtype=dt)._aot
+        assert tag in reg[(1, 64, 64, 3)]
+
+    # legacy single-dtype filenames (pre-dtype-keying) parse as act==input:
+    # right for detect/classify, never matchable for two_stage (uint8)
+    legacy = os.path.join(out, "aot",
+                          f"1x64x64x3_uint8_{jax.default_backend()}.jaxexp")
+    open(legacy, "wb").close()
+    reg = Engine(out, dtype=jnp.float32)._aot
+    assert "uint8-float32" in reg[(1, 64, 64, 3)]

@@ -12,7 +12,8 @@ A TensorRT `.engine` file becomes an **engine directory**:
     <path>/meta.json        kind, model spec, NMS protocol, input shape
     <path>/params.msgpack   flax-serialized parameter pytree
     <path>/aot/*.jaxexp     optional jax.export blobs, one per (input
-                            shape, dtype, platform) — `attach_aot`
+                            shape, input dtype, activation dtype,
+                            platform) — `attach_aot`
 
 and `Engine(tensor)` executes the stored executable when one matches the
 input shape (deserialize, no Python re-trace of the model — the XLA
@@ -68,14 +69,22 @@ def save_engine(path: str, kind: str, params: Any, meta: dict) -> str:
     return path
 
 
-def _aot_name(shape: tuple, dtype, platform: str) -> str:
-    return "x".join(map(str, shape)) + f"_{jnp.dtype(dtype).name}" \
+def _aot_name(shape: tuple, in_dtype, act_dtype, platform: str) -> str:
+    return "x".join(map(str, shape)) \
+           + f"_{jnp.dtype(in_dtype).name}-{jnp.dtype(act_dtype).name}" \
            f"_{platform}.jaxexp"
 
 
 def _parse_aot_name(name: str):
-    """'8x640x640x3_bfloat16_tpu.jaxexp' -> ((8,640,640,3), 'bfloat16',
-    'tpu'), or None if unparseable."""
+    """'8x640x640x3_uint8-bfloat16_tpu.jaxexp' -> ((8,640,640,3), 'uint8',
+    'bfloat16', 'tpu'): (shape, input dtype, activation dtype, platform).
+    The activation dtype is baked into the exported graph at attach time
+    and can differ from the input dtype (two_stage engines always ingest
+    uint8 frames); matching on the input dtype alone would let a bf16
+    Engine silently execute an f32-traced blob.  Legacy single-dtype names
+    parse with act == input dtype — correct for detect/classify blobs
+    (input IS the activation) and safely unmatchable for legacy two_stage
+    blobs (uint8 != any activation dtype).  Returns None if unparseable."""
     if not name.endswith(".jaxexp"):
         return None
     parts = name[:-7].rsplit("_", 2)
@@ -85,7 +94,8 @@ def _parse_aot_name(name: str):
         shape = tuple(int(v) for v in parts[0].split("x"))
     except ValueError:
         return None
-    return shape, parts[1], parts[2]
+    in_dtype, _, act_dtype = parts[1].partition("-")
+    return shape, in_dtype, act_dtype or in_dtype, parts[2]
 
 
 def attach_aot(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
@@ -96,7 +106,9 @@ def attach_aot(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
     the platform that built it, exactly like a TensorRT plan is
     GPU-specific.  Returns the written file paths."""
     from jax import export as jax_export
-    eng = Engine(path, dtype=dtype)
+    # _load_aot=False: this Engine exists only to trace _forward — scanning
+    # (and possibly warning about) half-attached blobs here is noise
+    eng = Engine(path, dtype=dtype, _load_aot=False)
     platform = jax.default_backend()
     adir = os.path.join(path, "aot")
     os.makedirs(adir, exist_ok=True)
@@ -108,7 +120,8 @@ def attach_aot(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
     for shp in input_shapes:
         exp = jax_export.export(jax.jit(eng._forward))(
             params_abs, jax.ShapeDtypeStruct(tuple(shp), in_dtype))
-        out = os.path.join(adir, _aot_name(tuple(shp), in_dtype, platform))
+        out = os.path.join(adir, _aot_name(tuple(shp), in_dtype, eng.dtype,
+                                           platform))
         with open(out, "wb") as f:
             f.write(exp.serialize())
         written.append(out)
@@ -154,7 +167,8 @@ def _maybe_nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
 class Engine:
     """Load an engine directory and execute it (TRTModule parity)."""
 
-    def __init__(self, path: str, device=None, dtype=jnp.float32):
+    def __init__(self, path: str, device=None, dtype=jnp.float32,
+                 _load_aot: bool = True):
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
@@ -234,21 +248,38 @@ class Engine:
         self._fn = jax.jit(self._forward, compiler_options=self._copts)
         # AOT registry: serialized executables for this platform, keyed by
         # NHWC input shape (deserializeCudaEngine parity — __call__ uses
-        # these without re-tracing the model).  The registry matches on the
-        # INPUT dtype: uint8 frames for two_stage, the activation dtype
-        # otherwise.
+        # these without re-tracing the model).  A blob must match BOTH the
+        # input dtype (uint8 frames for two_stage, the activation dtype
+        # otherwise) and the activation dtype baked in at attach time — an
+        # input-dtype-only match would let a bf16 two_stage Engine execute
+        # f32-traced blobs for listed shapes while unlisted shapes run the
+        # bf16 jit fallback (shape-dependent numerics, no warning).
         self._input_dtype = (jnp.uint8 if self.kind == "two_stage"
                              else jnp.dtype(dtype))
         self._aot: dict[tuple, str] = {}
         self._aot_fns: dict[tuple, Any] = {}
         adir = os.path.join(path, "aot")
-        if os.path.isdir(adir):
+        if _load_aot and os.path.isdir(adir):
             backend = jax.default_backend()
+            in_name = jnp.dtype(self._input_dtype).name
+            act_name = jnp.dtype(self.dtype).name
+            mismatched = []
             for name in os.listdir(adir):
                 parsed = _parse_aot_name(name)
-                if parsed and parsed[2] == backend \
-                        and parsed[1] == jnp.dtype(self._input_dtype).name:
+                if not parsed or parsed[3] != backend:
+                    continue
+                if parsed[1] == in_name and parsed[2] == act_name:
                     self._aot[parsed[0]] = os.path.join(adir, name)
+                else:
+                    mismatched.append(name)
+            if mismatched and not self._aot:
+                import warnings
+                warnings.warn(
+                    f"engine {path!r}: {len(mismatched)} AOT blob(s) exist "
+                    f"for this platform but none match dtype {act_name} "
+                    f"(e.g. {mismatched[0]!r}); all shapes will re-trace. "
+                    f"Re-attach with attach_aot(..., dtype={act_name}) or "
+                    f"mt-export --aot-dtype.", stacklevel=2)
 
     # ---- TRTModule API ----------------------------------------------------
     def set_desired(self, names: list[str]) -> None:

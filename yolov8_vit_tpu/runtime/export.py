@@ -58,11 +58,22 @@ def export_detect(args) -> str:
     if args.stablehlo:
         export_stablehlo_detect(params, cfg, args.stablehlo)
     if args.aot:
-        from yolov8_vit_tpu.runtime.engine import attach_aot
-        shapes = [(b, args.imgsz, args.imgsz, 3) for b in args.aot]
-        for p in attach_aot(path, shapes):
-            print(f"aot executable -> {p}")
+        _attach_aot_blobs(path, [(b, args.imgsz, args.imgsz, 3)
+                                 for b in args.aot], args.aot_dtype)
     return path
+
+
+def _attach_aot_blobs(path, shapes, dtype_names) -> None:
+    """Attach AOT blobs for every requested activation dtype.  Production
+    serving loads engines at bf16 while debugging/parity runs use f32; a
+    blob only matches an Engine opened at the dtype it was traced with
+    (engine.py::_parse_aot_name), so exporting for both keeps the
+    deserialize-instead-of-retrace cold start in either configuration."""
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.runtime.engine import attach_aot
+    for dn in dtype_names:
+        for p in attach_aot(path, shapes, dtype=jnp.dtype(dn)):
+            print(f"aot executable -> {p}")
 
 
 def _write_stablehlo(fn, in_specs, out_prefix: str,
@@ -199,10 +210,8 @@ def export_classify(args) -> str:
         export_stablehlo_classify(params, spec, args.num_classes,
                                   args.stablehlo)
     if args.aot:
-        from yolov8_vit_tpu.runtime.engine import attach_aot
-        shapes = [(b, spec.img_size, spec.img_size, 3) for b in args.aot]
-        for p in attach_aot(path, shapes):
-            print(f"aot executable -> {p}")
+        _attach_aot_blobs(path, [(b, spec.img_size, spec.img_size, 3)
+                                 for b in args.aot], args.aot_dtype)
     return path
 
 
@@ -251,8 +260,7 @@ def main(argv=None):
                    help="classify slots per image (batch-averaged)")
 
     def export_two_stage(args):
-        from yolov8_vit_tpu.runtime.engine import (merge_two_stage_engine,
-                                                   attach_aot)
+        from yolov8_vit_tpu.runtime.engine import merge_two_stage_engine
         path = merge_two_stage_engine(args.out, args.detect_engine,
                                       args.classify_engine, args.budget)
         print(f"two-stage engine written to {path}")
@@ -261,8 +269,8 @@ def main(argv=None):
             with open(os.path.join(path, "meta.json")) as f:
                 h, w = _json.load(f)["detect_cfg"].get("input_size",
                                                        [640, 640])
-            for p in attach_aot(path, [(b, h, w, 3) for b in args.aot]):
-                print(f"aot executable -> {p}")
+            _attach_aot_blobs(path, [(b, h, w, 3) for b in args.aot],
+                              args.aot_dtype)
         return path
 
     t.set_defaults(fn=export_two_stage)
@@ -275,6 +283,13 @@ def main(argv=None):
                             "parity — Engine loads them without re-tracing"
                             "; platform-specific, built for the current "
                             "jax backend)")
+        p.add_argument("--aot-dtype", nargs="*",
+                       default=["bfloat16", "float32"],
+                       choices=["bfloat16", "float32"],
+                       help="activation dtype(s) to bake into the AOT "
+                            "blobs; a blob only matches an Engine opened "
+                            "at its dtype, so the default covers both the "
+                            "bf16 serving config and f32 parity runs")
         p.add_argument("--allow-pickle", action="store_true",
                        help="permit full unpickling of the checkpoint "
                             "(required for ultralytics .pt module pickles; "
