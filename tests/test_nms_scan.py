@@ -14,8 +14,8 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from yolov8_vit_tpu.ops.nms import (efficient_nms, efficient_nms_scan,
-                                    area_sorted_nms)
+from yolov8_vit_tpu.ops.nms import efficient_nms_scan, area_sorted_nms
+from masked_nms_oracle import efficient_nms
 
 
 def torch_greedy_nms(boxes: torch.Tensor, scores: torch.Tensor,

@@ -6,9 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from yolov8_vit_tpu.ops import (
-    box_iou, box_area, efficient_nms, area_sorted_nms, inflate_boxes,
-    unletterbox_boxes,
+    box_iou, box_area, area_sorted_nms, inflate_boxes, unletterbox_boxes,
 )
+# the masked formulation is tests-only now (retired from production decode;
+# it remains the independently-derived oracle the kernels are checked with)
+from masked_nms_oracle import efficient_nms
 
 
 def _np_iou(a, b):
@@ -162,15 +164,19 @@ def test_unletterbox_roundtrip():
     np.testing.assert_allclose(np.asarray(out), [[160.0, 160.0, 560.0, 480.0]])
 
 
-def test_decode_predictions_impls_agree():
-    """The nms_impl config switch ('scan' Pallas kernel vs 'masked'
-    fori_loop) must produce identical engine outputs through the full
-    decode path when candidates fit the masked path's pre_topk."""
+def test_decode_predictions_matches_masked_oracle():
+    """Production decode (scan kernel) must match an independently-composed
+    decode that swaps in the tests-only masked oracle NMS — same DFL/sigmoid
+    front end, different suppression algorithm.  The retired 'masked'
+    nms_impl value itself must be rejected (it could silently truncate the
+    multi-label pool; round-4 VERDICT item 7)."""
     import dataclasses
     import jax
     import jax.numpy as jnp
     from yolov8_vit_tpu.config import DetectConfig
-    from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    from yolov8_vit_tpu.models.yolov8 import (YOLOv8, YOLOV8_VARIANTS,
+                                              flatten_head_outputs)
+    from yolov8_vit_tpu.ops import dfl_decode, make_anchors
     from yolov8_vit_tpu.runtime.detector import decode_predictions
 
     spec = dataclasses.replace(YOLOV8_VARIANTS["n"], num_classes=5)
@@ -180,13 +186,23 @@ def test_decode_predictions_impls_agree():
     x = jnp.asarray(np.random.default_rng(4).random((2, 64, 64, 3)),
                     jnp.float32)
     head = model.apply(params, x)
-    cfg_scan = DetectConfig(input_size=(64, 64), variant="n", nms_topk=16,
-                            nms_conf=1e-4, nms_impl="scan")
     # conf 1e-4 makes every (anchor, class) pair a candidate (multi-label
     # plugin semantics): 84 anchors x 5 classes
-    cfg_mask = dataclasses.replace(cfg_scan, nms_impl="masked",
-                                   nms_pre_topk=420)
-    a = jax.tree.map(np.asarray, decode_predictions(head, cfg_scan))
-    b = jax.tree.map(np.asarray, decode_predictions(head, cfg_mask))
+    cfg = DetectConfig(input_size=(64, 64), variant="n", nms_topk=16,
+                       nms_conf=1e-4, nms_impl="scan")
+    a = jax.tree.map(np.asarray, decode_predictions(head, cfg))
+
+    box_dist, cls_logits = flatten_head_outputs(head)
+    anchors, stride = make_anchors(cfg.input_size, cfg.strides)
+    boxes = dfl_decode(box_dist.astype(jnp.float32), anchors, stride,
+                       cfg.reg_max)
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    b = jax.tree.map(np.asarray, jax.vmap(
+        lambda bb, ss: efficient_nms(bb, ss, iou_threshold=cfg.nms_iou,
+                                     score_threshold=cfg.nms_conf,
+                                     max_output=cfg.nms_topk))(boxes, scores))
     for name, x1, x2 in zip(("num", "boxes", "scores", "labels"), a, b):
         np.testing.assert_array_equal(x1, x2, err_msg=name)
+
+    with pytest.raises(ValueError, match="retired"):
+        decode_predictions(head, dataclasses.replace(cfg, nms_impl="masked"))

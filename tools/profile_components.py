@@ -42,7 +42,7 @@ def main():
     from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
     from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
     from yolov8_vit_tpu.runtime.detector import decode_predictions
-    from yolov8_vit_tpu.ops import letterbox, efficient_nms, crop_and_resize_nearest
+    from yolov8_vit_tpu.ops import letterbox, crop_and_resize_nearest
     import dataclasses
 
     b = args.batch
@@ -92,16 +92,13 @@ def main():
         dtv = bench_fn(fv, (pv, xv), args.iters)
         report.append((f"{name}_x{b*4}crops", dtv, gflops * 1e9 * b * 4))
 
-    # --- NMS alone (scan kernel = production; masked = legacy) ---
+    # --- NMS alone (scan kernel = the production path) ---
     from yolov8_vit_tpu.ops.nms import efficient_nms_scan
     boxes = jnp.asarray(rng.random((b, 8400, 4)) * 640, jnp.float32)
     scores = jnp.asarray(rng.random((b, 8400, 5)) * 0.5, jnp.float32)
     fn_scan = jax.jit(jax.vmap(lambda bb, ss: efficient_nms_scan(bb, ss)))
     dtn = bench_fn(fn_scan, (boxes, scores), args.iters)
     report.append(("nms_scan_8400x5", dtn, 0))
-    fn_nms = jax.jit(jax.vmap(lambda bb, ss: efficient_nms(bb, ss)))
-    dtn = bench_fn(fn_nms, (boxes, scores), args.iters)
-    report.append(("nms_masked_8400(legacy)", dtn, 0))
 
     # --- letterbox + crop ---
     imgs = jnp.asarray(rng.integers(0, 256, (b, 720, 1280, 3), dtype=np.uint8))

@@ -79,12 +79,15 @@ class DetectConfig:
     nms_iou: float = 0.65
     nms_conf: float = 0.25
     nms_topk: int = 100
-    # candidate pool fed to the legacy masked greedy pass (static shape);
-    # only used when nms_impl="masked"
+    # candidate pool for the retired masked greedy pass — UNUSED since the
+    # 'masked' impl was removed from decode (round 4); kept so engine
+    # meta.json files that recorded it still load
     nms_pre_topk: int = 512
     # "scan": Pallas argmax-selection kernel, full-candidate greedy over all
-    #         anchors (exact TRT-plugin semantics, trip count = kept boxes)
-    # "masked": fori_loop suppression over the top nms_pre_topk candidates
+    #         anchors (exact TRT-plugin semantics, trip count = kept boxes).
+    # The only supported value — the legacy "masked" fori_loop impl could
+    # diverge under pool truncation and now lives in
+    # tests/masked_nms_oracle.py as the cross-check oracle.
     nms_impl: str = "scan"
     # second-stage filter + custom area-sorted NMS
     conf_second: float = 0.35

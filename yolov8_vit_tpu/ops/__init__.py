@@ -8,7 +8,7 @@ from yolov8_vit_tpu.ops.boxes import (  # noqa: F401
     box_iou, inflate_boxes, unletterbox_boxes, box_area,
 )
 from yolov8_vit_tpu.ops.nms import (  # noqa: F401
-    efficient_nms, efficient_nms_scan, area_sorted_nms,
+    efficient_nms_scan, area_sorted_nms,
 )
 from yolov8_vit_tpu.ops.dfl import dfl_decode, make_anchors  # noqa: F401
 from yolov8_vit_tpu.ops.crop import crop_and_resize_nearest  # noqa: F401

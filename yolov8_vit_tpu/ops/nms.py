@@ -6,17 +6,23 @@ The reference runs NMS twice:
     background -1, box_coding xyxy) emitting fixed-size
     (num_dets, bboxes[topk], scores[topk], labels[topk])
     (`/root/reference/docs/YOLO_TensorRT_Technical.md:106-151`,
-    `/root/reference/tech.md:41-47`).  -> `efficient_nms`.
+    `/root/reference/tech.md:41-47`).  -> `efficient_nms_scan`, a Pallas
+    argmax-selection kernel over the FULL multi-label candidate pool.
+    (The original masked-matrix formulation was retired to
+    tests/masked_nms_oracle.py: with an explicit small pre_topk it could
+    truncate candidates the full-candidate kernel keeps and diverge on
+    dense scenes; it survives as the tests' independent oracle.)
  2. A custom second pass that filters conf > .35, orders boxes by *area*
     descending, and suppresses at IoU .45 to merge duplicate covers
     (`/root/reference/README.md:41-84`).  -> `area_sorted_nms`.
 
-Both are greedy sequential algorithms; on TPU we precompute the full O(K^2)
-IoU matrix once (MXU/VPU friendly) and run the ordering-dependent suppression
-scan as a `lax.fori_loop` over a boolean mask — K is a static candidate count
-(default 512), so the whole thing jits with fixed shapes and the topk=100
-padded outputs keep every downstream shape static (the reference engine pads
-to topk=100 the same way).
+Both are greedy sequential algorithms; on TPU both run as Pallas kernels
+that hold every candidate in VMEM and per iteration argmax-select the best
+remaining row (trip count == boxes kept, not pool size), with all shapes
+static — the topk=100 padded outputs keep every downstream shape static
+(the reference engine pads to topk=100 the same way).  `area_sorted_nms`
+also keeps an argsort + `lax.fori_loop` masked formulation
+(`impl="argsort"`) used by the cross-check tests.
 """
 from __future__ import annotations
 
@@ -62,106 +68,6 @@ def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
     sup0 = jnp.zeros((k,), dtype=bool)
     keep, _ = jax.lax.fori_loop(0, k, body, (keep0, sup0))
     return keep
-
-
-def _multilabel_candidates(boxes: jnp.ndarray, scores: jnp.ndarray):
-    """(N, 4) boxes + (N, C) scores -> per-(anchor, class) candidate pool
-    (N*C boxes/scores/labels), CLASS-major (anchor varies fastest).
-
-    EfficientNMS_TRT in its default (non-class-agnostic) mode treats every
-    (box, class) pair above the score threshold as a separate candidate
-    (`/root/reference/docs/YOLO_TensorRT_Technical.md:106-135`) — an anchor
-    with two classes above threshold yields two detections.  A per-anchor
-    argmax reduction (multi_label=False) silently drops the runner-up.
-
-    Class-major ordering pins the score-tie order (lowest pool index first
-    = lowest class, then lowest anchor) consistently with the Pallas
-    kernel's (class, anchor-row, lane) layout."""
-    n, c = scores.shape
-    flat_scores = scores.T.reshape(-1)
-    flat_labels = jnp.repeat(jnp.arange(c, dtype=jnp.int32), n)
-    flat_boxes = jnp.tile(boxes, (c, 1))
-    return flat_boxes, flat_scores, flat_labels
-
-
-def efficient_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
-                  iou_threshold: float = 0.65,
-                  score_threshold: float = 0.25,
-                  max_output: int = 100,
-                  pre_topk: int | None = None,
-                  class_aware: bool = True,
-                  multi_label: bool = True):
-    """EfficientNMS_TRT-equivalent with static output shapes.
-
-    Args:
-      boxes:  (N, 4) xyxy in letterboxed coords.
-      scores: (N, C) per-class scores (already sigmoided).
-      pre_topk: candidate-pool truncation (static shape for the fori_loop
-        pass).  Default None = 512 scaled by the class count when
-        multi_label is on — the multi-label pool is N*C candidates, and a
-        fixed 512 tuned for N anchors truncates candidates the
-        full-candidate scan kernel (`efficient_nms_scan`) keeps, making the
-        two implementations diverge on dense scenes.
-      multi_label: plugin parity — every (anchor, class) pair above the
-        threshold is its own candidate; False reduces each anchor to its
-        argmax class first (cheaper, diverges when an anchor has two
-        classes above threshold).
-    Returns:
-      num_dets: () int32
-      out_boxes: (max_output, 4), zero-padded
-      out_scores: (max_output,), zero-padded
-      out_labels: (max_output,) int32, -1-padded
-    Output order is score-descending, matching the plugin.
-    """
-    n, _ = scores.shape
-    if multi_label and class_aware:
-        pool_boxes, pool_scores, pool_labels = \
-            _multilabel_candidates(boxes, scores)
-        if pre_topk is None:
-            pre_topk = 512 * scores.shape[1]
-    else:
-        pool_boxes = boxes
-        pool_scores = jnp.max(scores, axis=-1)
-        pool_labels = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        if pre_topk is None:
-            pre_topk = 512
-    valid = pool_scores > score_threshold
-
-    k = min(pre_topk, pool_scores.shape[0])
-    cand_scores, cand_idx = jax.lax.top_k(
-        jnp.where(valid, pool_scores, -1.0), k)
-    cand_boxes = pool_boxes[cand_idx]
-    cand_labels = pool_labels[cand_idx]
-    cand_valid = cand_scores > score_threshold
-
-    if class_aware:
-        # per-class offset trick: separate class bands so one agnostic pass
-        # == per-class NMS.  Stride 2*side (not side): boxes may have
-        # NEGATIVE coords (unclamped DFL decode), so a band must cover
-        # [-side+1, side-1] on each side of its center
-        side = jnp.max(jnp.abs(cand_boxes)) + 1.0
-        offset = cand_labels.astype(cand_boxes.dtype)[:, None] * (2.0 * side)
-        iou = box_iou(cand_boxes + offset, cand_boxes + offset)
-    else:
-        iou = box_iou(cand_boxes, cand_boxes)
-
-    keep = _greedy_suppress(iou, cand_valid, iou_threshold)
-
-    if k < max_output:  # fewer candidates than output slots: pad
-        pad = max_output - k
-        keep = jnp.pad(keep, (0, pad))
-        cand_scores = jnp.pad(cand_scores, (0, pad), constant_values=-1.0)
-        cand_boxes = jnp.pad(cand_boxes, ((0, pad), (0, 0)))
-        cand_labels = jnp.pad(cand_labels, (0, pad))
-
-    kept_scores = jnp.where(keep, cand_scores, -1.0)
-    out_scores, sel = jax.lax.top_k(kept_scores, max_output)
-    picked = out_scores > score_threshold
-    out_boxes = jnp.where(picked[:, None], cand_boxes[sel], 0.0)
-    out_labels = jnp.where(picked, cand_labels[sel], -1)
-    out_scores = jnp.where(picked, out_scores, 0.0)
-    num_dets = jnp.sum(picked).astype(jnp.int32)
-    return num_dets, out_boxes, out_scores, out_labels
 
 
 def _nms_argmax_kernel(side_ref, x1_ref, y1_ref, x2_ref, y2_ref,
@@ -307,7 +213,8 @@ def efficient_nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                        interpret: bool | None = None):
     """EfficientNMS with FULL-candidate greedy semantics (Pallas kernel).
 
-    Same contract as `efficient_nms`, but every candidate above the score
+    Same contract as the masked-matrix oracle formulation
+    (tests/masked_nms_oracle.py), but every candidate above the score
     threshold participates in suppression (no pre_topk truncation), and the
     sequential part runs inside one Pallas program whose trip count is the
     number of kept boxes (<= max_output) — no anchor sort, no output

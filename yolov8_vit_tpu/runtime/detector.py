@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from yolov8_vit_tpu.config import DetectConfig
 from yolov8_vit_tpu.models.yolov8 import flatten_head_outputs
-from yolov8_vit_tpu.ops import dfl_decode, make_anchors, efficient_nms
+from yolov8_vit_tpu.ops import dfl_decode, make_anchors
 from yolov8_vit_tpu.ops.nms import efficient_nms_scan
 
 
@@ -32,15 +32,19 @@ def decode_predictions(head_outputs, cfg: DetectConfig):
     boxes = dfl_decode(box_dist, anchors, stride, cfg.reg_max)
     scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
 
-    if cfg.nms_impl == "scan":
-        def one(b, s):
-            return efficient_nms_scan(
-                b, s, iou_threshold=cfg.nms_iou,
-                score_threshold=cfg.nms_conf, max_output=cfg.nms_topk)
-    else:
-        def one(b, s):
-            return efficient_nms(
-                b, s, iou_threshold=cfg.nms_iou, score_threshold=cfg.nms_conf,
-                max_output=cfg.nms_topk, pre_topk=cfg.nms_pre_topk)
+    if cfg.nms_impl != "scan":
+        # the masked fori_loop formulation was retired (round-4): with a
+        # small nms_pre_topk it truncated the multi-label candidate pool
+        # and could diverge from the plugin-exact scan kernel on dense
+        # scenes.  It lives on as the tests' oracle
+        # (tests/masked_nms_oracle.py); production decode is scan-only.
+        raise ValueError(
+            f"nms_impl={cfg.nms_impl!r} is not supported: the 'masked' "
+            f"implementation was retired; use nms_impl='scan'")
+
+    def one(b, s):
+        return efficient_nms_scan(
+            b, s, iou_threshold=cfg.nms_iou,
+            score_threshold=cfg.nms_conf, max_output=cfg.nms_topk)
 
     return jax.vmap(one)(boxes, scores)
