@@ -123,7 +123,7 @@ def _inflate(box, img_w, img_h):
 def main(Engine, imgs, device=None, model_list: Sequence = (),
          transform=None, aliyunoss=None, func: Callable | None = None,
          conf_threshold: float = 0.35, save_draw_dir: str | None = None,
-         upload_prefix: str = "FuChuang/"):
+         upload_prefix: str = "FuChuang/", crop_size: int = 224):
     """Run two-stage inference over images; return flattened sorted tuples.
 
     Engine: detect Engine (runtime.Engine, kind="detect").
@@ -135,11 +135,19 @@ def main(Engine, imgs, device=None, model_list: Sequence = (),
     func: optional callback func(folder, filename, path, objects) — e.g.
       data.generate_annotation for model-assisted labeling
       (`/root/reference/test.py:28`).
+    crop_size: classifier input side (224 for the deployed ViTs; tests use
+      tiny classifiers).
     """
     import jax.numpy as jnp  # deferred: keep module import light
 
     del device, transform
-    h_in, w_in = getattr(Engine, "det_cfg").input_size
+    det_cfg = getattr(Engine, "det_cfg")
+    h_in, w_in = det_cfg.input_size
+    # the second-stage NMS threshold comes from the engine's config (the
+    # reference hardcodes 0.45, which is DetectConfig's default too; the
+    # fused pipeline reads the same field, so host and fused paths agree
+    # at any configuration)
+    area_iou = getattr(det_cfg, "custom_nms_iou", 0.45)
     results = []
     for path in path_to_list(imgs):
         bgr = cv2.imread(path)
@@ -166,7 +174,7 @@ def main(Engine, imgs, device=None, model_list: Sequence = (),
         bboxes, scores, labels = bboxes[keep], scores[keep], labels[keep]
 
         # custom area-sorted second NMS (reference README.md:41-84)
-        kept = _area_nms_host(bboxes, scores)
+        kept = _area_nms_host(bboxes, scores, area_iou)
         bboxes, scores, labels = bboxes[kept], scores[kept], labels[kept]
 
         objects = []
@@ -174,7 +182,7 @@ def main(Engine, imgs, device=None, model_list: Sequence = (),
         rgb_full = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         for box in bboxes:
             ib = _inflate(np.round(box), iw, ih)
-            crops.append(_crop_nearest_224(rgb_full, ib))
+            crops.append(_crop_nearest_224(rgb_full, ib, crop_size))
         cls_ids = labels.astype(int).tolist()
         if crops and model_list:
             batch = np.stack(crops).astype(np.float32) / 255.0 * 2.0 - 1.0
