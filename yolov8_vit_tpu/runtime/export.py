@@ -60,6 +60,9 @@ def export_detect(args) -> str:
     if args.aot:
         _attach_aot_blobs(path, [(b, args.imgsz, args.imgsz, 3)
                                  for b in args.aot], args.aot_dtype)
+    if args.compiled:
+        _attach_compiled_blobs(path, [(b, args.imgsz, args.imgsz, 3)
+                                      for b in args.compiled], args.aot_dtype)
     return path
 
 
@@ -74,6 +77,17 @@ def _attach_aot_blobs(path, shapes, dtype_names) -> None:
     for dn in dtype_names:
         for p in attach_aot(path, shapes, dtype=jnp.dtype(dn)):
             print(f"aot executable -> {p}")
+
+
+def _attach_compiled_blobs(path, shapes, dtype_names) -> None:
+    """Attach fully-compiled .jaxcomp binaries (zero-compile load — the
+    true deserializeCudaEngine analogue).  Chip/toolchain-specific: run on
+    the serving device, like building a TRT plan on the target GPU."""
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.runtime.engine import attach_compiled
+    for dn in dtype_names:
+        for p in attach_compiled(path, shapes, dtype=jnp.dtype(dn)):
+            print(f"compiled executable -> {p}")
 
 
 def _write_stablehlo(fn, in_specs, out_prefix: str,
@@ -212,6 +226,10 @@ def export_classify(args) -> str:
     if args.aot:
         _attach_aot_blobs(path, [(b, spec.img_size, spec.img_size, 3)
                                  for b in args.aot], args.aot_dtype)
+    if args.compiled:
+        _attach_compiled_blobs(path, [(b, spec.img_size, spec.img_size, 3)
+                                      for b in args.compiled],
+                               args.aot_dtype)
     return path
 
 
@@ -264,13 +282,18 @@ def main(argv=None):
         path = merge_two_stage_engine(args.out, args.detect_engine,
                                       args.classify_engine, args.budget)
         print(f"two-stage engine written to {path}")
-        if args.aot:
+        if args.aot or args.compiled:
             import json as _json
             with open(os.path.join(path, "meta.json")) as f:
                 h, w = _json.load(f)["detect_cfg"].get("input_size",
                                                        [640, 640])
-            _attach_aot_blobs(path, [(b, h, w, 3) for b in args.aot],
-                              args.aot_dtype)
+            if args.aot:
+                _attach_aot_blobs(path, [(b, h, w, 3) for b in args.aot],
+                                  args.aot_dtype)
+            if args.compiled:
+                _attach_compiled_blobs(path, [(b, h, w, 3)
+                                              for b in args.compiled],
+                                       args.aot_dtype)
         return path
 
     t.set_defaults(fn=export_two_stage)
@@ -283,6 +306,13 @@ def main(argv=None):
                             "parity — Engine loads them without re-tracing"
                             "; platform-specific, built for the current "
                             "jax backend)")
+        p.add_argument("--compiled", type=int, nargs="*", default=None,
+                       metavar="BATCH",
+                       help="serialize fully-COMPILED executables "
+                            "(.jaxcomp) for these batch sizes — zero-"
+                            "compile load, the true deserializeCudaEngine "
+                            "analogue.  Chip/toolchain-specific: run this "
+                            "on the serving device")
         p.add_argument("--aot-dtype", nargs="*",
                        default=["bfloat16", "float32"],
                        choices=["bfloat16", "float32"],
