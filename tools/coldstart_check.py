@@ -6,13 +6,20 @@ Phases (separate processes):
               tunnel and irrelevant to the artifact)
   --attach    attach an AOT blob for batch 8 on the CURRENT platform (run
               on the TPU; lowering is host-side, no device compiles)
+  --attach-compiled
+              attach a COMPILED .jaxcomp blob (runs the full XLA compile
+              once, on the TPU platform; the deserializeCudaEngine-parity
+              artifact — load pays NO re-trace and NO compile)
   --measure [--no-aot]
               time Engine() + first __call__ in THIS fresh process
               (a trivial device op runs first so the tunnel handshake is
               excluded; XLA persistent cache state is whatever is on disk —
-              run twice to see cold/warm-cache numbers)
+              run twice to see cold/warm-cache numbers).  With a .jaxcomp
+              present the Engine prefers it (last_path prints which ran);
+              --no-aot disables both registries for the traced baseline.
 
-Records for docs/performance.md (VERDICT round-2 item 4 done-gate).
+Records for docs/performance.md (VERDICT round-2 item 4 / round-3 item 3
+done-gates).
 """
 import argparse
 import os
@@ -52,6 +59,16 @@ def attach():
         print("aot ->", p)
 
 
+def attach_compiled():
+    import time as _t
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.runtime.engine import attach_compiled as ac
+    t0 = _t.perf_counter()
+    for p in ac(ENG, [(8, 224, 224, 3)], dtype=jnp.bfloat16):
+        print(f"compiled -> {p}  ({_t.perf_counter() - t0:.1f}s "
+              f"compile+serialize, paid once at export)")
+
+
 def measure(use_aot: bool):
     import numpy as np
     import jax
@@ -66,18 +83,20 @@ def measure(use_aot: bool):
     eng = Engine(ENG, dtype=jnp.bfloat16)
     if not use_aot:
         eng._aot = {}
+        eng._compiled = {}
     t1 = time.perf_counter()
     out = eng(x)
     device_barrier({"o": out})
     t2 = time.perf_counter()
-    print(f"aot={use_aot}: load {t1-t0:.2f}s, first result "
-          f"{t2-t1:.2f}s, total {t2-t0:.2f}s")
+    print(f"aot={use_aot} path={eng.last_path}: load {t1-t0:.2f}s, "
+          f"first result {t2-t1:.2f}s, total {t2-t0:.2f}s")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--prepare", action="store_true")
     ap.add_argument("--attach", action="store_true")
+    ap.add_argument("--attach-compiled", action="store_true")
     ap.add_argument("--measure", action="store_true")
     ap.add_argument("--no-aot", action="store_true")
     a = ap.parse_args()
@@ -85,5 +104,7 @@ if __name__ == "__main__":
         prepare()
     if a.attach:
         attach()
+    if a.attach_compiled:
+        attach_compiled()
     if a.measure:
         measure(not a.no_aot)
