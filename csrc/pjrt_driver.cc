@@ -15,6 +15,15 @@
 //            [--imgsz 640] [--dump-prefix out]  (one command line)
 //   mt_infer --plugin /opt/axon/libaxon_pjrt.so --axon ...   (tunnel TPU)
 //
+// Compiled-executable save/load (trtexec --saveEngine/--loadEngine parity,
+// the native leg of the reference's deserializeCudaEngine workflow,
+// /root/reference/docs/YOLO_TensorRT_Technical.md:228-230):
+//   mt_infer ... --module detect.mlir --compile-options detect.opts.pb
+//            --save-exec detect.pjrtexec        (compile once, save binary)
+//   mt_infer ... --load-exec detect.pjrtexec --image street.jpg
+//            (PJRT_Executable_DeserializeAndLoad: no MLIR parse, no XLA
+//             compile — same artifact class as Engine's aot/*.jaxcomp)
+//
 // Build: make -C csrc mt_infer  (needs the pjrt_c_api.h include; see Makefile)
 
 #include <dlfcn.h>
@@ -64,6 +73,8 @@ struct Args {
   std::string compile_options_path;
   std::string image_path;
   std::string dump_prefix;
+  std::string save_exec_path;
+  std::string load_exec_path;
   int imgsz = 640;
   bool list_devices = false;
   // client create options as key=value (int if all-digits, else string);
@@ -91,6 +102,8 @@ int main(int argc, char** argv) {
     else if (a == "--image") args.image_path = next();
     else if (a == "--imgsz") args.imgsz = atoi(next().c_str());
     else if (a == "--dump-prefix") args.dump_prefix = next();
+    else if (a == "--save-exec") args.save_exec_path = next();
+    else if (a == "--load-exec") args.load_exec_path = next();
     else if (a == "--list-devices") args.list_devices = true;
     else if (a == "--option") args.options.push_back(next());
     else if (a == "--axon") {
@@ -201,39 +214,84 @@ int main(int argc, char** argv) {
   ad.client = client;
   CHECK_PJRT(api, api->PJRT_Client_AddressableDevices(&ad));
   printf("addressable devices: %zu\n", ad.num_addressable_devices);
-  if (args.list_devices || args.module_path.empty()) return 0;
+  if (args.list_devices ||
+      (args.module_path.empty() && args.load_exec_path.empty()))
+    return 0;
   if (ad.num_addressable_devices == 0) {
     fprintf(stderr, "no devices\n");
     return 1;
   }
 
-  // ---- compile -------------------------------------------------------------
-  std::string module = ReadFile(args.module_path);
-  std::string copts = ReadFile(args.compile_options_path);
-  if (module.empty() || copts.empty()) {
-    fprintf(stderr, "failed to read module/compile options\n");
-    return 1;
-  }
-  PJRT_Program prog;
-  memset(&prog, 0, sizeof(prog));
-  prog.struct_size = PJRT_Program_STRUCT_SIZE;
-  prog.code = module.data();
-  prog.code_size = module.size();
-  static const char kFmt[] = "mlir";
-  prog.format = kFmt;
-  prog.format_size = 4;
+  PJRT_LoadedExecutable* exec = nullptr;
+  if (!args.load_exec_path.empty()) {
+    // ---- deserialize a previously saved compiled binary (no compile) ------
+    std::string bytes = ReadFile(args.load_exec_path);
+    if (bytes.empty()) {
+      fprintf(stderr, "failed to read %s\n", args.load_exec_path.c_str());
+      return 1;
+    }
+    PJRT_Executable_DeserializeAndLoad_Args dl;
+    memset(&dl, 0, sizeof(dl));
+    dl.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+    dl.client = client;
+    dl.serialized_executable = bytes.data();
+    dl.serialized_executable_size = bytes.size();
+    CHECK_PJRT(api, api->PJRT_Executable_DeserializeAndLoad(&dl));
+    exec = dl.loaded_executable;
+    printf("deserialized %s (%zu bytes, no MLIR parse, no XLA compile)\n",
+           args.load_exec_path.c_str(), bytes.size());
+  } else {
+    // ---- compile -----------------------------------------------------------
+    std::string module = ReadFile(args.module_path);
+    std::string copts = ReadFile(args.compile_options_path);
+    if (module.empty() || copts.empty()) {
+      fprintf(stderr, "failed to read module/compile options\n");
+      return 1;
+    }
+    PJRT_Program prog;
+    memset(&prog, 0, sizeof(prog));
+    prog.struct_size = PJRT_Program_STRUCT_SIZE;
+    prog.code = module.data();
+    prog.code_size = module.size();
+    static const char kFmt[] = "mlir";
+    prog.format = kFmt;
+    prog.format_size = 4;
 
-  PJRT_Client_Compile_Args comp;
-  memset(&comp, 0, sizeof(comp));
-  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
-  comp.client = client;
-  comp.program = &prog;
-  comp.compile_options = copts.data();
-  comp.compile_options_size = copts.size();
-  CHECK_PJRT(api, api->PJRT_Client_Compile(&comp));
-  PJRT_LoadedExecutable* exec = comp.executable;
-  printf("compiled %s (%zu bytes mlir)\n", args.module_path.c_str(),
-         module.size());
+    PJRT_Client_Compile_Args comp;
+    memset(&comp, 0, sizeof(comp));
+    comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+    comp.client = client;
+    comp.program = &prog;
+    comp.compile_options = copts.data();
+    comp.compile_options_size = copts.size();
+    CHECK_PJRT(api, api->PJRT_Client_Compile(&comp));
+    exec = comp.executable;
+    printf("compiled %s (%zu bytes mlir)\n", args.module_path.c_str(),
+           module.size());
+  }
+
+  if (!args.save_exec_path.empty()) {
+    // ---- save the compiled binary (trtexec --saveEngine parity) -----------
+    PJRT_LoadedExecutable_GetExecutable_Args ge;
+    memset(&ge, 0, sizeof(ge));
+    ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ge.loaded_executable = exec;
+    CHECK_PJRT(api, api->PJRT_LoadedExecutable_GetExecutable(&ge));
+    PJRT_Executable_Serialize_Args se;
+    memset(&se, 0, sizeof(se));
+    se.struct_size = PJRT_Executable_Serialize_Args_STRUCT_SIZE;
+    se.executable = ge.executable;
+    CHECK_PJRT(api, api->PJRT_Executable_Serialize(&se));
+    {
+      std::ofstream out(args.save_exec_path, std::ios::binary);
+      out.write(se.serialized_bytes,
+                static_cast<std::streamsize>(se.serialized_bytes_size));
+    }
+    printf("saved compiled executable -> %s (%zu bytes)\n",
+           args.save_exec_path.c_str(), se.serialized_bytes_size);
+    if (se.serialized_executable_deleter)
+      se.serialized_executable_deleter(se.serialized_executable);
+  }
 
   // ---- input: decode + letterbox + blob -----------------------------------
   const int S = args.imgsz;

@@ -90,15 +90,38 @@ def main(workdir: str, plugin: str, driver: str) -> int:
     env.setdefault("AXON_LOOPBACK_RELAY", "1")
     env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
     dump = os.path.join(workdir, "drv")
+    pjrtexec = os.path.join(workdir, "detect.pjrtexec")
     run = subprocess.run(
         [driver, "--plugin", plugin, "--axon", "--module", prefix + ".mlir",
          "--compile-options", prefix + ".opts.pb", "--image", png,
-         "--imgsz", str(size), "--dump-prefix", dump],
+         "--imgsz", str(size), "--dump-prefix", dump,
+         "--save-exec", pjrtexec],
         capture_output=True, text=True, timeout=900, env=env)
     sys.stderr.write(run.stdout + run.stderr)
     if run.returncode != 0:
         print("DRIVER_FAILED")
         return 1
+
+    # save/load roundtrip (trtexec --saveEngine/--loadEngine parity): a
+    # SECOND driver process deserializes the compiled binary — no MLIR
+    # parse, no XLA compile — and must reproduce the first run bit-exactly
+    # (same binary, same chip).
+    dump2 = os.path.join(workdir, "drv2")
+    run2 = subprocess.run(
+        [driver, "--plugin", plugin, "--axon", "--load-exec", pjrtexec,
+         "--image", png, "--imgsz", str(size), "--dump-prefix", dump2],
+        capture_output=True, text=True, timeout=900, env=env)
+    sys.stderr.write(run2.stdout + run2.stderr)
+    if run2.returncode != 0 or "deserialized" not in run2.stdout:
+        print("LOAD_EXEC_FAILED")
+        return 1
+    for o in range(4):
+        a = open(f"{dump}_{o}.bin", "rb").read()
+        b = open(f"{dump2}_{o}.bin", "rb").read()
+        if a != b:
+            print(f"SAVELOAD_MISMATCH output {o}")
+            return 1
+    print(f"SAVELOAD_MATCH bytes={os.path.getsize(pjrtexec)}")
 
     x = np.fromfile(dump + "_input.bin", np.float32).reshape(1, size, size, 3)
     rt = jax.export.deserialize(blob_ser)
