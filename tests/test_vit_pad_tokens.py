@@ -59,10 +59,25 @@ def test_spec_validation():
 
 
 def test_vit_compiler_options_gating():
-    """The scoped-VMEM raise applies only to lane-padded fused specs on
-    the TPU backend (the CPU backend rejects TPU flags)."""
+    """The scoped-VMEM raise applies to EVERY fused-attention spec on the
+    TPU backend (the CPU backend rejects TPU flags).  The VMEM edge moves
+    with the crop-grid length, which the spec cannot see, so the gate is
+    impl-based: round-4 sweeps OOMed B/8 at a 128-crop grid and even B/16
+    (t=197) at a 512-crop dense-serve grid."""
+    from unittest import mock
     from yolov8_vit_tpu.models.vit import vit_compiler_options
     spec = ViTSpec(patch=8, attn_impl="fused", pad_tokens=896)
     # CPU backend (the test env): always None
     assert vit_compiler_options(spec) is None
     assert vit_compiler_options(ViTSpec(patch=16)) is None
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        for s in (spec,
+                  ViTSpec(patch=8, attn_impl="fused"),          # t=785
+                  ViTSpec(patch=16, attn_impl="fused"),         # t=197
+                  ViTSpec(patch=16, attn_impl="fused",
+                          img_size=384)):                        # t=577
+            assert vit_compiler_options(s) == {
+                "xla_tpu_scoped_vmem_limit_kib": "24576"}
+        # non-fused paths stay at the default limit
+        assert vit_compiler_options(ViTSpec(patch=8)) is None    # xla attn
+        assert vit_compiler_options(ViTSpec(patch=16)) is None   # xla attn

@@ -96,15 +96,19 @@ VIT_L16_224 = ViTSpec(patch=16, dim=1024, depth=24, heads=16)
 def vit_compiler_options(spec: ViTSpec) -> dict | None:
     """Per-compile jit options a graph containing this ViT needs on TPU.
 
-    The fused attention kernel at t >= 896 (lane-padded B/8) allocates
-    ~16.01 MB scoped VMEM — 4-8 KB over the toolchain's default 16 MB
-    limit — so compiles carrying it raise the limit (the axon terminal
-    forwards proto-backed xla_* flags per-compile).  None elsewhere: the
-    CPU backend rejects TPU flags."""
+    The fused attention kernel near the scoped-VMEM edge needs the limit
+    raised (the axon terminal forwards proto-backed xla_* flags
+    per-compile; the raise is admissibility-only — round-2 sweeps measured
+    no perf effect).  The edge depends on Mosaic's pipelining headroom,
+    which grows with the CROP-GRID length as well as the token count —
+    observed hardware-compile OOMs: t=896 lane-padded B/8 at any grid
+    (~16.01 MB), t=785 B/8 at a 128-crop grid (16.5 MB), and t=197 B/16
+    at a 512-crop grid (16.09 MB, dense-serve sweep).  The spec cannot
+    see the grid length, so the gate is simply: every fused-attention
+    spec on the TPU backend.  None elsewhere: the CPU backend rejects
+    TPU flags."""
     import jax
-    if spec.pad_tokens and spec.pad_tokens >= 896 \
-            and spec.attn_impl == "fused" \
-            and jax.default_backend() == "tpu":
+    if spec.attn_impl == "fused" and jax.default_backend() == "tpu":
         return {"xla_tpu_scoped_vmem_limit_kib": "24576"}
     return None
 
