@@ -282,15 +282,28 @@ int main(int argc, char** argv) {
     se.struct_size = PJRT_Executable_Serialize_Args_STRUCT_SIZE;
     se.executable = ge.executable;
     CHECK_PJRT(api, api->PJRT_Executable_Serialize(&se));
+    bool wrote_ok;
     {
       std::ofstream out(args.save_exec_path, std::ios::binary);
       out.write(se.serialized_bytes,
                 static_cast<std::streamsize>(se.serialized_bytes_size));
+      wrote_ok = out.good();
+    }
+    if (se.serialized_executable_deleter)
+      se.serialized_executable_deleter(se.serialized_executable);
+    {
+      PJRT_Executable_Destroy_Args ed;
+      memset(&ed, 0, sizeof(ed));
+      ed.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
+      ed.executable = ge.executable;
+      CHECK_PJRT(api, api->PJRT_Executable_Destroy(&ed));
+    }
+    if (!wrote_ok) {
+      fprintf(stderr, "failed to write %s\n", args.save_exec_path.c_str());
+      return 1;
     }
     printf("saved compiled executable -> %s (%zu bytes)\n",
            args.save_exec_path.c_str(), se.serialized_bytes_size);
-    if (se.serialized_executable_deleter)
-      se.serialized_executable_deleter(se.serialized_executable);
   }
 
   // ---- input: decode + letterbox + blob -----------------------------------

@@ -247,10 +247,17 @@ def test_budget2_matches_budget8_and_host_path(tmp_path):
             b = r["boxes"][k]
             ours.append((int(r["cls_labels"][k]), int(b[0]), int(b[1]),
                          int(b[2]), int(b[3]), float(r["det_scores"][k])))
-        theirs = sorted(by_img.get(name, []))
-        ours = sorted(ours)
+        theirs = list(by_img.get(name, []))
         assert len(ours) == len(theirs), (name, len(ours), len(theirs))
-        for a, b in zip(ours, theirs):
+        # pair greedily by nearest box, not by sorted() on truncated-int
+        # coords: a coordinate straddling an integer boundary (12.9999 vs
+        # 13.0001, both within the box atol) would flip the sort order and
+        # mispair otherwise-matching rows
+        for a in theirs:
+            b = min(ours, key=lambda o: (o[0] != a[0],
+                                         max(abs(x - y) for x, y
+                                             in zip(o[1:5], a[1:5]))))
+            ours.remove(b)
             assert a[0] == b[0], (name, a, b)          # class label
             np.testing.assert_allclose(a[1:5], b[1:5], atol=1)   # box px
             np.testing.assert_allclose(a[5], b[5], atol=1e-3)    # det conf

@@ -123,9 +123,12 @@ def test_scan_would_catch_pre_topk_truncation():
 
 @pytest.mark.parametrize("seed", [3, 4])
 def test_scan_matches_masked_when_sparse(seed):
-    """V < pre_topk: the legacy masked path and the scan kernel agree."""
+    """V < pre_topk: the legacy masked path and the scan kernel agree.
+    pre_topk is capped explicitly (~300 valid candidates in the scene):
+    the full-pool default would eagerly materialize (N*C)^2 IoU
+    temporaries — ~3 GB at N=2048 — for no extra test power."""
     boxes, scores = _dense_scene(2048, seed, 300)
-    a = efficient_nms(jnp.asarray(boxes), jnp.asarray(scores))
+    a = efficient_nms(jnp.asarray(boxes), jnp.asarray(scores), pre_topk=1024)
     b = efficient_nms_scan(jnp.asarray(boxes), jnp.asarray(scores))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

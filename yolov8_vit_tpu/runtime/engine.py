@@ -276,22 +276,17 @@ class Engine:
         # cold-start term the TRT engine avoids by being a serialized plan
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
             self.params = flax.serialization.msgpack_restore(f.read())
+        self._device = device
         if device is not None:
             self.params = jax.device_put(self.params, device)
         # one jit wrapper: jax caches per input shape/dtype itself, and the
-        # output selection (set_desired) is host-side, after the call
+        # output selection (set_desired) is host-side, after the call.
+        # vit_compiler_options covers every fused-attention spec on TPU
+        # (incl. the f32 case measured at 17.8 MB scoped VMEM at
+        # (8, 197, 768)), so no extra f32 carve-out is needed here.
         from yolov8_vit_tpu.models.vit import vit_compiler_options
         self._copts = (vit_compiler_options(self.vit_spec)
                        if self.kind in ("classify", "two_stage") else None)
-        if (self._copts is None and self.kind in ("classify", "two_stage")
-                and self.vit_spec.attn_impl == "fused"
-                and jnp.dtype(dtype).itemsize >= 4
-                and jax.default_backend() == "tpu"):
-            # the fused attention kernel's per-program buffers exceed the
-            # default 16 MB scoped-VMEM limit in f32 at batch>=4 (measured:
-            # 17.8 MB at (8, 197, 768) f32); production runs bf16 where the
-            # default fits, but an f32 Engine must still compile
-            self._copts = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
         self._fn = jax.jit(self._forward, compiler_options=self._copts)
         # AOT registry: serialized executables for this platform, keyed by
         # NHWC input shape (deserializeCudaEngine parity — __call__ uses
@@ -375,9 +370,10 @@ class Engine:
         the blob (it is chip/toolchain-specific, like a TRT plan built on
         a different GPU; XLA:CPU's AOT loader additionally rejects blobs
         whose compile-time machine features exceed the host's).  The first
-        call per key materializes the outputs to surface the loader's
+        call per key materializes one output to surface the loader's
         deferred faults; later calls stay fully async."""
         try:
+            dev = self._device if self._device is not None else jax.devices()[0]
             fn = self._compiled_fns.get(key)
             first = fn is None
             if first:
@@ -390,15 +386,21 @@ class Engine:
                 # an N-shard executable on multi-device hosts (e.g. the
                 # 8-virtual-device CPU test mesh)
                 fn = se.deserialize_and_load(
-                    payload, in_tree, out_tree,
-                    execution_devices=jax.devices()[:1])
+                    payload, in_tree, out_tree, execution_devices=[dev])
             if self._params_dev is None:
-                # a compiled binary takes committed device arrays
-                self._params_dev = jax.device_put(self.params,
-                                                  jax.devices()[0])
-            outs = fn(self._params_dev, jax.device_put(x, jax.devices()[0]))
+                # a compiled binary takes committed device arrays; reuse
+                # self.params when __init__ already committed them to the
+                # engine's device (avoids a second 90+ MB copy)
+                self._params_dev = (self.params if self._device is not None
+                                    else jax.device_put(self.params, dev))
+            outs = fn(self._params_dev, jax.device_put(x, dev))
             if first:
-                jax.block_until_ready(outs)
+                # fetch the smallest output: block_until_ready is a no-op
+                # on tunneled transports (CLAUDE.md), and an execute fault
+                # poisons every output buffer, so one materialized leaf
+                # surfaces it without moving a large tensor over the wire
+                leaves = jax.tree.leaves(outs)
+                jax.device_get(min(leaves, key=lambda v: v.size))
                 self._compiled_fns[key] = fn
             return outs
         except Exception as e:  # demote: fall back to .jaxexp / jit
