@@ -287,6 +287,8 @@ int main(int argc, char** argv) {
       std::ofstream out(args.save_exec_path, std::ios::binary);
       out.write(se.serialized_bytes,
                 static_cast<std::streamsize>(se.serialized_bytes_size));
+      out.close();  // close before checking: the destructor's flush of
+                    // buffered tail bytes can fail after a good() read
       wrote_ok = out.good();
     }
     if (se.serialized_executable_deleter)
@@ -367,6 +369,11 @@ int main(int argc, char** argv) {
     CHECK_PJRT(api, api->PJRT_LoadedExecutable_GetExecutable(&ge));
     no.executable = ge.executable;
     CHECK_PJRT(api, api->PJRT_Executable_NumOutputs(&no));
+    PJRT_Executable_Destroy_Args ed;
+    memset(&ed, 0, sizeof(ed));
+    ed.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
+    ed.executable = ge.executable;
+    CHECK_PJRT(api, api->PJRT_Executable_Destroy(&ed));
   }
   size_t num_outputs = no.num_outputs;
   printf("executable outputs: %zu\n", num_outputs);

@@ -249,15 +249,24 @@ def test_budget2_matches_budget8_and_host_path(tmp_path):
                          int(b[2]), int(b[3]), float(r["det_scores"][k])))
         theirs = list(by_img.get(name, []))
         assert len(ours) == len(theirs), (name, len(ours), len(theirs))
-        # pair greedily by nearest box, not by sorted() on truncated-int
-        # coords: a coordinate straddling an integer boundary (12.9999 vs
-        # 13.0001, both within the box atol) would flip the sort order and
-        # mispair otherwise-matching rows
-        for a in theirs:
-            b = min(ours, key=lambda o: (o[0] != a[0],
-                                         max(abs(x - y) for x, y
-                                             in zip(o[1:5], a[1:5]))))
-            ours.remove(b)
-            assert a[0] == b[0], (name, a, b)          # class label
+        # pair by globally-nearest boxes (all pairs ranked by distance,
+        # matched Kruskal-style), not by sorted() on truncated-int coords:
+        # a coordinate straddling an integer boundary (12.9999 vs 13.0001,
+        # both within the box atol) would flip the sort order and mispair
+        # otherwise-matching rows, and per-row greedy min() could steal a
+        # closer-but-wrong partner when two boxes sit within the atol
+        ranked = sorted(
+            (max(abs(x - y) for x, y in zip(a[1:5], b[1:5])), i, j)
+            for i, a in enumerate(theirs) for j, b in enumerate(ours)
+            if a[0] == b[0])
+        used_i, used_j = set(), set()
+        pairs = []
+        for _, i, j in ranked:
+            if i not in used_i and j not in used_j:
+                used_i.add(i)
+                used_j.add(j)
+                pairs.append((theirs[i], ours[j]))
+        assert len(pairs) == len(theirs), (name, "unmatched class labels")
+        for a, b in pairs:
             np.testing.assert_allclose(a[1:5], b[1:5], atol=1)   # box px
             np.testing.assert_allclose(a[5], b[5], atol=1e-3)    # det conf

@@ -279,7 +279,14 @@ def test_compiled_executable_zero_compile_load(classify_engine):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     demoted = [w for w in rec if "compiled blob" in str(w.message)]
     if demoted:
-        # platform refused the binary: key demoted, portable path taken
+        # platform refused the binary: portable path taken this call; the
+        # key demotes permanently only on the second consecutive failure
+        # (one transport hiccup must not cost the zero-compile path)
+        assert eng.last_path in ("aot", "jit")
+        with _w.catch_warnings(record=True):
+            _w.simplefilter("always")
+            np.testing.assert_allclose(np.asarray(eng(x)), want,
+                                       rtol=1e-5, atol=1e-6)
         assert (2, 32, 32, 3) not in eng._compiled
         assert eng.last_path in ("aot", "jit")
     else:

@@ -276,7 +276,6 @@ class Engine:
         # cold-start term the TRT engine avoids by being a serialized plan
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
             self.params = flax.serialization.msgpack_restore(f.read())
-        self._device = device
         if device is not None:
             self.params = jax.device_put(self.params, device)
         # one jit wrapper: jax caches per input shape/dtype itself, and the
@@ -304,6 +303,7 @@ class Engine:
         # over .jaxexp — loads with zero XLA compilation
         self._compiled: dict[tuple, str] = {}
         self._compiled_fns: dict[tuple, Any] = {}
+        self._compiled_failures: dict[tuple, int] = {}
         self._params_dev = None
         self.last_path = None     # "compiled" | "aot" | "jit" after a call
         adir = os.path.join(path, "aot")
@@ -366,12 +366,16 @@ class Engine:
 
     def _call_compiled(self, key, x):
         """Execute the zero-compile .jaxcomp binary for `key`, or return
-        None after permanently demoting the key if the platform refuses
-        the blob (it is chip/toolchain-specific, like a TRT plan built on
-        a different GPU; XLA:CPU's AOT loader additionally rejects blobs
-        whose compile-time machine features exceed the host's).  The first
-        call per key materializes one output to surface the loader's
-        deferred faults; later calls stay fully async."""
+        None after demoting the key if the platform refuses the blob (it
+        is chip/toolchain-specific, like a TRT plan built on a different
+        GPU; XLA:CPU's AOT loader additionally rejects blobs whose
+        compile-time machine features exceed the host's).  The first call
+        per key materializes one output to surface the loader's deferred
+        faults; later calls stay fully async.  Demotion is permanent only
+        on the SECOND consecutive failure: the first-call fetch rides the
+        tunnel on axon rigs, and a one-off transport hiccup must not cost
+        the process its zero-compile path (a genuinely bad blob fails
+        again immediately on the retry)."""
         try:
             dev = self._device if self._device is not None else jax.devices()[0]
             fn = self._compiled_fns.get(key)
@@ -402,16 +406,27 @@ class Engine:
                 leaves = jax.tree.leaves(outs)
                 jax.device_get(min(leaves, key=lambda v: v.size))
                 self._compiled_fns[key] = fn
+                self._compiled_failures.pop(key, None)
             return outs
         except Exception as e:  # demote: fall back to .jaxexp / jit
             import warnings
-            del self._compiled[key]
             self._compiled_fns.pop(key, None)
-            warnings.warn(
-                f"engine: compiled blob for shape {key} rejected by this "
-                f"platform ({type(e).__name__}: {e}); falling back to the "
-                f"portable path.  Re-run attach_compiled on this device.",
-                stacklevel=3)
+            fails = self._compiled_failures.get(key, 0) + 1
+            self._compiled_failures[key] = fails
+            if fails >= 2:
+                del self._compiled[key]
+                warnings.warn(
+                    f"engine: compiled blob for shape {key} rejected by "
+                    f"this platform ({type(e).__name__}: {e}); falling "
+                    f"back to the portable path.  Re-run attach_compiled "
+                    f"on this device.", stacklevel=3)
+            else:
+                warnings.warn(
+                    f"engine: compiled blob for shape {key} failed once "
+                    f"({type(e).__name__}: {e}); using the portable path "
+                    f"for this call and retrying the blob next call (a "
+                    f"transient transport fault recovers; a bad blob "
+                    f"demotes permanently on the retry).", stacklevel=3)
             return None
 
     # -----------------------------------------------------------------------
