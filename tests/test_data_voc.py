@@ -79,3 +79,35 @@ def test_deliver_moves_pairs(tmp_path):
     assert nt + nv == 10
     assert len(os.listdir(src)) == 0
     assert len(os.listdir(tmp_path / "nt")) == nt * 2
+
+
+def test_xml2txt_skips_unknown_labels(tmp_path):
+    """An unmapped class name must not reach the txt as label -1 (the TAL
+    assigner's gt_labels.clip(0) would alias it to class 0 with an
+    all-zero target); the object is skipped with a warning, the rest of
+    the image kept.  The reference's writer hard-KeyErrors instead
+    (`/root/reference/utils/class_config.py:130`)."""
+    import warnings as _warnings
+    src = str(tmp_path / "new")
+    os.makedirs(src)
+    Image.fromarray(np.zeros((60, 80, 3), np.uint8)).save(
+        os.path.join(src, "img0.jpg"))
+    generate_annotation("", "img0.jpg", "img0.jpg",
+                        [{"sort": "Mystery", "xmin": 1, "ymin": 2,
+                          "xmax": 30, "ymax": 40},
+                         {"sort": "good", "xmin": 5, "ymin": 6,
+                          "xmax": 20, "ymax": 30}],
+                        save_dir=src, image_size=(80, 60))
+    dst = str(tmp_path / "fold0")
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        n = xml2txt(src, dst, rng=random.Random(0))
+    assert n == 1
+    assert any("Mystery" in str(w.message) for w in rec)
+    lines = []
+    for split in ("train", "val"):
+        d = os.path.join(dst, "labels", split)
+        for f in os.listdir(d):
+            lines += open(os.path.join(d, f)).read().splitlines()
+    assert len(lines) == 1                       # the good object only
+    assert lines[0].split()[0] == "0"

@@ -378,3 +378,96 @@ def test_upload_download_pool_is_bounded(service, monkeypatch):
     assert state["calls"] == 100          # every URL attempted despite errors
     assert state["peak"] <= 4             # concurrency bounded by the pool
     assert out == {"output": [], "note": "no engine configured"}
+
+
+def test_query_values_percent_decoded(service):
+    """Browsers percent-encode non-ASCII query values; the geocoder must
+    see the decoded address, as Flask's request.args delivers it
+    (regression: the raw escapes reached location2lalo)."""
+    svc, base = service
+    seen = {}
+
+    def geocode(loc):
+        seen["loc"] = loc
+        return ("addr", "116.4,39.9")
+
+    svc.geocode_fn = geocode
+    _get(base + "/map?location=%E5%8C%97%E4%BA%AC")   # 北京
+    assert seen["loc"] == "北京"
+
+
+def test_logs_mobile_opt_out(service):
+    """`?mobile=0` must serve the landscape page, not the rotate variant
+    (regression: bool('0') is True)."""
+    svc, base = service
+    page = _get(base + "/logs?mobile=0").decode()
+    assert "rotate(90deg)" not in page
+
+
+def test_upload_uses_fresh_dir_per_request(service, monkeypatch, tmp_path):
+    """Each POST / runs inference over ITS OWN downloads only.  The
+    reference reuses one never-cleaned input/ folder, so its second
+    response mixes in the first request's detections
+    (`/root/reference/app.py:52-62`) — a documented-weakness fix."""
+    svc, base = service
+
+    def fake_download(url, folder, save_flag=True):
+        with open(os.path.join(folder, os.path.basename(url)), "wb") as f:
+            f.write(b"x")
+        return False
+
+    monkeypatch.setattr("yolov8_vit_tpu.serve.app.download_images",
+                        fake_download)
+    seen_dirs = []
+
+    def runner(input_dir):
+        seen_dirs.append(input_dir)
+        return {"files": sorted(os.listdir(input_dir))}
+
+    svc.runner = runner
+    out1 = _post(base + "/", {"urls": [{"k": "http://x.invalid/a.jpg"}]})
+    out2 = _post(base + "/", {"urls": [{"k": "http://x.invalid/b.jpg"}]})
+    assert out1 == {"files": ["a.jpg"]}
+    assert out2 == {"files": ["b.jpg"]}          # no bleed from request 1
+    assert len(set(seen_dirs)) == 2
+
+
+def test_auto_retrain_respects_running_guard(service):
+    """The 100-label auto path claims the same training slot as /trainNow
+    (the reference lets them race and corrupt deliver()'s moves)."""
+    svc, base = service
+    calls = svc._test_calls
+
+    svc.training_epochs_left = 5                  # a run is in flight
+    svc._auto_retrain()
+    assert calls["retrain"] == 0                  # skipped, not queued
+
+    svc.training_epochs_left = 0
+    svc._auto_retrain()
+    assert calls["retrain"] == 1                  # ran...
+    assert svc.training_epochs_left == 0          # ...and released the slot
+
+
+def test_serve_server_is_threaded(service):
+    """An open SSE /stream connection must not wedge other routes: the
+    service's own HTTP server handles requests on separate threads (the
+    single-threaded wsgiref default would block on the never-ending
+    stream generator)."""
+    svc, _ = service
+    httpd = svc.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # occupy a handler with the never-ending SSE stream from a
+        # background thread (urlopen itself blocks until the generator's
+        # first yield, so the request must not be on this thread)
+        threading.Thread(
+            target=lambda: urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stream", timeout=30).read(1),
+            daemon=True).start()
+        time.sleep(0.5)                           # handler now in the stream
+        cfg = json.loads(_get(f"http://127.0.0.1:{port}/getConfig"))
+        assert "standard" in cfg                  # served while SSE is live
+    finally:
+        httpd.shutdown()

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import random
 import shutil
+import warnings
 import xml.etree.ElementTree as ET
 from typing import Iterable
 
@@ -197,6 +198,19 @@ def xml2txt(src_dir: str, dst_root: str = "train/yolo/fold0",
         with open(os.path.join(dst_root, "labels", split,
                                rec["name"] + ".txt"), "w") as f:
             for obj in rec["objects"]:
+                if obj["label"] < 0:
+                    # unknown class name: parse_voc_xml maps it to -1 (the
+                    # reference's yolo2dict does too, trainYolo.py:84), but
+                    # written to a txt it would poison training — the TAL
+                    # assigner's gt_labels.clip(0) aliases -1 to class 0
+                    # with an all-zero one-hot target.  The reference's own
+                    # txt writer hard-KeyErrors instead
+                    # (class_config.py:130); we skip the object and keep
+                    # the rest of the image.  split_by_circle applies the
+                    # same filter on the classifier path.
+                    warnings.warn(f"xml2txt: skipping object with unknown "
+                                  f"class {obj['name']!r} in {rec['name']}")
+                    continue
                 x, y, bw, bh = convert_box_cxcywh(
                     (obj["xmin"], obj["ymin"], obj["xmax"], obj["ymax"]), w, h)
                 f.write(f"{obj['label']} {x:.5f} {y:.5f} {bw:.5f} {bh:.5f}\n")

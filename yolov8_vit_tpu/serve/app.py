@@ -19,12 +19,15 @@ from __future__ import annotations
 import json
 import os
 import random
+import socketserver
 import threading
 import time
+import urllib.parse
+import uuid
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
-from wsgiref.simple_server import make_server, WSGIRequestHandler
+from wsgiref.simple_server import make_server, WSGIRequestHandler, WSGIServer
 
 import cv2
 
@@ -86,11 +89,21 @@ class InspectionService:
 
     # ---- route handlers ---------------------------------------------------
     def route_upload(self, payload: dict):
-        """POST / — download URLs in parallel threads, run two-stage infer."""
+        """POST / — download URLs in parallel threads, run two-stage infer.
+
+        Each request downloads into its OWN subdirectory of input/: the
+        reference reuses one never-cleaned folder and re-runs inference
+        over every image ever posted (`/root/reference/app.py:52-62`), so
+        its second response mixes in the first request's detections and
+        per-request latency grows without bound — a weakness in the same
+        class as the unbounded download threads below, fixed the same
+        way (deviation documented here; the downloaded images are kept,
+        as the reference keeps them)."""
         urls = payload.get("urls") or []
         if not urls:
             return {"错误": "我需要post请求"}
-        input_dir = os.path.join(self.workdir, "input")
+        input_dir = os.path.join(self.workdir, "input",
+                                 f"req-{uuid.uuid4().hex[:12]}")
         os.makedirs(input_dir, exist_ok=True)
         # Bounded pool, NOT thread-per-URL: the reference spawns one thread
         # per URL with no cap (`/root/reference/app.py:50-59`, a documented
@@ -143,7 +156,7 @@ class InspectionService:
                 pass
             _num, due = self.config.bump_and_check()
             if due and self.retrain_fn is not None:
-                self._call_retrain(False)
+                self._auto_retrain()
 
         self._ingest_location(payload, objects)
         threading.Thread(target=syc_retrain, daemon=True).start()
@@ -232,8 +245,10 @@ class InspectionService:
             # the running guard — an early return must not zero the
             # labels-since-last-retrain counter (reference :167-190)
             cfg = self.config.update(num=0)
-            self.training_epochs_left = cfg.get(
-                "class_config", {}).get("epoch", 10)
+            # claim with at least 1 so the running guard holds even when
+            # the configured epoch count is 0
+            self.training_epochs_left = max(int(cfg.get(
+                "class_config", {}).get("epoch", 10) or 0), 1)
         if self.retrain_fn is not None:
             def run():
                 try:
@@ -246,6 +261,27 @@ class InspectionService:
             with self._train_lock:
                 self.training_epochs_left = 0
         return {"state": "启动成功"}
+
+    def _auto_retrain(self) -> None:
+        """The 100-label auto path claims the same training slot as
+        /trainNow.  The reference lets the two race (`sycRetrain` calls
+        `retrain()` with no guard, `/root/reference/app.py:84-98`):
+        concurrent runs race `deliver()`'s shutil.move on the same files
+        and interleave the non-atomic engine-dir writes.  A due
+        auto-retrain that finds a run in flight is skipped — the
+        ingested labels stay in train/new for the next trigger."""
+        with self._train_lock:
+            if self.training_epochs_left > 0:
+                return
+            # claim with at least 1 so the guard holds even when the
+            # configured epoch count is 0
+            self.training_epochs_left = max(int(self.config.read().get(
+                "class_config", {}).get("epoch", 10) or 0), 1)
+        try:
+            self._call_retrain(False)
+        finally:
+            with self._train_lock:
+                self.training_epochs_left = 0
 
     def _call_retrain(self, log: bool) -> None:
         """Invoke retrain_fn, forwarding the service config's
@@ -302,11 +338,12 @@ class InspectionService:
     def wsgi(self, environ, start_response):
         path = environ.get("PATH_INFO", "/")
         method = environ.get("REQUEST_METHOD", "GET")
-        query = {}
-        for pair in (environ.get("QUERY_STRING") or "").split("&"):
-            if "=" in pair:
-                k, v = pair.split("=", 1)
-                query[k] = v
+        # percent-decode like Flask's request.args does: a browser encodes
+        # /map?location=北京 as %E5%8C%97%E4%BA%AC, and the geocoder must
+        # see the decoded address, not the literal percent-escapes
+        query = {k: v[-1] for k, v in urllib.parse.parse_qs(
+            environ.get("QUERY_STRING") or "",
+            keep_blank_values=True).items()}
 
         def read_json():
             try:
@@ -342,9 +379,10 @@ class InspectionService:
             return _json_response(start_response, self.route_train_now())
         if path == "/logs":
             # ?mobile=1 serves the landscape-rotate variant (the reference
-            # ships it as a second template, `templates/index.html:12-46`)
-            return _html_response(
-                start_response, logs_page(mobile=bool(query.get("mobile"))))
+            # ships it as a second template, `templates/index.html:12-46`);
+            # explicit opt-outs ("0", "false") stay on the landscape page
+            mobile = query.get("mobile", "").lower() not in ("", "0", "false")
+            return _html_response(start_response, logs_page(mobile=mobile))
         if path == "/chart-data":
             start_response("200 OK", [
                 ("Content-Type", "text/event-stream"),
@@ -360,14 +398,25 @@ class InspectionService:
         return _json_response(start_response, {"error": "not found"},
                               status="404 Not Found")
 
-    def serve(self, host: str = "0.0.0.0", port: int = 5000):
+    def make_http_server(self, host: str = "0.0.0.0", port: int = 5000):
+        """Build the HTTP server (one thread per request: /stream and
+        /chart-data hold their connection open indefinitely (SSE), so the
+        single-threaded default WSGIServer would wedge every other route
+        the moment one dashboard client connects)."""
         class QuietHandler(WSGIRequestHandler):
             def log_message(self, *args):
                 pass
 
-        with make_server(host, port, self.wsgi,
-                         handler_class=QuietHandler) as httpd:
-            print(f"serving on {host}:{port}")
+        class ThreadingServer(socketserver.ThreadingMixIn, WSGIServer):
+            daemon_threads = True
+
+        return make_server(host, port, self.wsgi,
+                           server_class=ThreadingServer,
+                           handler_class=QuietHandler)
+
+    def serve(self, host: str = "0.0.0.0", port: int = 5000):
+        with self.make_http_server(host, port) as httpd:
+            print(f"serving on {host}:{httpd.server_address[1]}")
             httpd.serve_forever()
 
 
@@ -419,9 +468,11 @@ def build_default_service(workdir: str = ".",
                 HUB.publish({"message": str(msg)}, type_="log")
 
             # class_config.epoch from the service config drives the run
-            # (the /getConfig knob; reference `/root/reference/app.py:169-189`)
-            cfg = CFG() if not epochs else _dc.replace(CFG(),
-                                                       epoch=int(epochs))
+            # (the /getConfig knob; reference `/root/reference/app.py:169-189`);
+            # `is None`, not falsy: an explicit epoch=0 means a zero-epoch
+            # run, not the CFG default of 10
+            cfg = CFG() if epochs is None else _dc.replace(CFG(),
+                                                           epoch=int(epochs))
             retrain(log=log, cfg=cfg, workdir=workdir, log_fn=sse_log)
 
     from yolov8_vit_tpu.serve.geocode import location2lalo
