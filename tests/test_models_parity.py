@@ -94,3 +94,16 @@ def test_vit_b8_param_count():
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
     # timm vit_base_patch8_224 w/ 1000-class head = 86.6M; wrapper adds 128*1001+5*129
     assert 86e6 < n < 88e6, n
+
+
+def test_make_divisible_matches_ultralytics():
+    """Channel-width rounding is ceil-based in ultralytics
+    (ultralytics/utils/ops.py::make_divisible); round-to-nearest diverges
+    for custom width scales (e.g. width 0.3: 64*0.3=19.2 -> 24, not 16),
+    breaking checkpoint round-trips for non-named variants.  The named
+    n/s/m/l/x variants all land on multiples of 8 and mask the bug."""
+    import math
+    from yolov8_vit_tpu.models.yolov8 import _make_divisible
+
+    for x in (19.2, 3.0, 8.0, 12.8, 76.8, 153.6, 1.0, 0.5):
+        assert _make_divisible(x) == max(8, math.ceil(x / 8) * 8)

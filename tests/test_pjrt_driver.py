@@ -78,6 +78,56 @@ def test_stablehlo_export(tmp_path):
     assert (tmp_path / "det.opts.pb").stat().st_size > 100
 
 
+def test_tpu_export_lowers_mosaic_and_bakes_vmem_flag(tmp_path):
+    """Exporting a "tpu" module from this CPU-pinned test process must bake
+    REAL Mosaic kernels: interpret-vs-Mosaic is a trace-time decision
+    (ops/lowering.py), and a build box without a TPU used to ship
+    HLO-emulated interpreter loops inside 'tpu' artifacts — orders of
+    magnitude slower on chip, with no warning.  A fused-attention classify
+    export must also carry the scoped-VMEM raise in its .opts.pb: the
+    Python Engine injects vit_compiler_options per-jit, but the native
+    driver only ever sees what _write_stablehlo serialized."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
+    from yolov8_vit_tpu.ops.quant import (prequantize_tree,
+                                          MLP_AND_ATTN_SUFFIXES)
+    from yolov8_vit_tpu.runtime.export import export_stablehlo_classify
+
+    spec = ViTSpec(img_size=32, patch=8, dim=64, depth=1, heads=4,
+                   backbone_classes=16)
+    params = jax.jit(ViTClassifier(spec, 5).init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = prequantize_tree(params, MLP_AND_ATTN_SUFFIXES)
+    spec = dataclasses.replace(spec, quant="w8a", attn_impl="fused")
+    pc = str(tmp_path / "cls_w8a")
+    export_stablehlo_classify(params, spec, 5, pc)
+    assert "tpu_custom_call" in open(pc + ".mlir").read()
+    blob = open(pc + ".opts.pb", "rb").read()
+    assert b"xla_tpu_scoped_vmem_limit_kib" in blob and b"24576" in blob
+
+
+def test_stablehlo_export_respects_detect_cfg_fields(tmp_path):
+    """export_stablehlo_detect must trace the SAME spec the Engine/pipeline
+    build from the config (models/yolov8.py::detect_spec): it used to
+    rebuild from the variant alone, so a non-default cfg.reg_max traced a
+    reg_max=16 head against decode_predictions' reg_max=8 reshape."""
+    import jax
+    import jax.numpy as jnp
+    from yolov8_vit_tpu.config import DetectConfig
+    from yolov8_vit_tpu.models.yolov8 import YOLOv8, detect_spec
+    from yolov8_vit_tpu.runtime.export import export_stablehlo_detect
+
+    cfg = DetectConfig(input_size=(64, 64), variant="n", reg_max=8,
+                       nms_pre_topk=64, nms_topk=16)
+    model = YOLOv8(detect_spec(cfg), fused=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))
+    export_stablehlo_detect(params, cfg, str(tmp_path / "det8"))
+    assert "stablehlo" in (tmp_path / "det8.mlir").read_text()
+
+
 AXON_PLUGIN = "/opt/axon/libaxon_pjrt.so"
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from yolov8_vit_tpu.config import DetectConfig
 from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec, VIT_B8_224
-from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+from yolov8_vit_tpu.models.yolov8 import YOLOv8, detect_spec
 from yolov8_vit_tpu.ops import (
     unletterbox_boxes, area_sorted_nms, inflate_boxes, blob,
 )
@@ -68,12 +68,7 @@ class TwoStagePipeline:
 
     @property
     def detector(self) -> YOLOv8:
-        spec = dataclasses.replace(YOLOV8_VARIANTS[self.det_cfg.variant],
-                                   num_classes=self.det_cfg.num_classes,
-                                   reg_max=self.det_cfg.reg_max,
-                                   strides=self.det_cfg.strides)
-        if self.det_overrides:
-            spec = dataclasses.replace(spec, **dict(self.det_overrides))
+        spec = detect_spec(self.det_cfg, self.det_overrides)
         return YOLOv8(spec, fused=True, stem_s2d=self.stem_mode != "flat",
                       cell_region=self.stem_mode == "cell",
                       cell_extent=self.cell_extent)

@@ -93,7 +93,8 @@ VIT_S16_224 = ViTSpec(patch=16, dim=384, heads=6)
 VIT_L16_224 = ViTSpec(patch=16, dim=1024, depth=24, heads=16)
 
 
-def vit_compiler_options(spec: ViTSpec) -> dict | None:
+def vit_compiler_options(spec: ViTSpec, platform: str | None = None
+                         ) -> dict | None:
     """Per-compile jit options a graph containing this ViT needs on TPU.
 
     The fused attention kernel near the scoped-VMEM edge needs the limit
@@ -106,9 +107,13 @@ def vit_compiler_options(spec: ViTSpec) -> dict | None:
     at a 512-crop grid (16.09 MB, dense-serve sweep).  The spec cannot
     see the grid length, so the gate is simply: every fused-attention
     spec on the TPU backend.  None elsewhere: the CPU backend rejects
-    TPU flags."""
+    TPU flags.  `platform` overrides the backend check for cross-platform
+    export (runtime/export.py bakes these into the native driver's
+    .opts.pb, which always compiles on TPU)."""
     import jax
-    if spec.attn_impl == "fused" and jax.default_backend() == "tpu":
+    if platform is None:
+        platform = jax.default_backend()
+    if spec.attn_impl == "fused" and platform == "tpu":
         return {"xla_tpu_scoped_vmem_limit_kib": "24576"}
     return None
 

@@ -19,6 +19,7 @@ Two parameter layouts:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Sequence
 
 import jax
@@ -45,8 +46,26 @@ YOLOV8_VARIANTS: dict[str, YOLOv8Spec] = {
 }
 
 
+def detect_spec(cfg, overrides=None) -> YOLOv8Spec:
+    """YOLOv8Spec from a DetectConfig + optional explicit field overrides
+    (engine meta "det_spec") — the ONE place engine load, stablehlo export,
+    and the fused pipeline agree on.  Rebuilding the spec ad hoc and
+    dropping cfg.reg_max/cfg.strides silently desynchronizes the traced
+    head from decode_predictions (reshape error at best, a wrong anchor
+    grid at worst)."""
+    spec = dataclasses.replace(YOLOV8_VARIANTS[cfg.variant],
+                               num_classes=cfg.num_classes,
+                               reg_max=cfg.reg_max, strides=cfg.strides)
+    if overrides:
+        spec = dataclasses.replace(spec, **dict(overrides))
+    return spec
+
+
 def _make_divisible(x: float, div: int = 8) -> int:
-    return max(div, int(x + div / 2) // div * div)
+    # ultralytics' make_divisible is ceil-based (ultralytics/utils/ops.py);
+    # round-to-nearest diverges for custom width scales whose scaled
+    # channels aren't multiples of 8 (the named n/s/m/l/x variants all are)
+    return max(div, int(math.ceil(x / div)) * div)
 
 
 def _ch(c: int, spec: YOLOv8Spec) -> int:

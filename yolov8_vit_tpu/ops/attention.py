@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from yolov8_vit_tpu.ops.lowering import interpret_default
+
 _BQ = 128  # query rows per program
 
 
@@ -53,7 +55,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     TPU so CPU tests exercise the same kernel.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     b, t, h, d = q.shape
     scale = d ** -0.5
     t_pad = _round_up(t, _BQ)
@@ -197,7 +199,7 @@ def fused_attention_block_i8(x: jnp.ndarray, ln_scale, ln_bias,
     prequantize_tree with the attention suffixes).  t_real: see
     `_sdpa_per_head` (lane-padded sequences)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     b, t, d = x.shape
     g = _attn_group_size(b, t)
     f32 = jnp.float32
@@ -230,7 +232,7 @@ def fused_attention_block(x: jnp.ndarray, ln_scale, ln_bias, wqkv, bqkv,
     group of images.  Measured 0.44 vs 0.69 ms for the XLA sub-block at
     ViT-B/16 x32-crop shapes on v5e.  t_real: see `_sdpa_per_head`."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     b, t, d = x.shape
     g = _attn_group_size(b, t)
     dt = x.dtype

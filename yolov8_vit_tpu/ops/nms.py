@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from yolov8_vit_tpu.ops.boxes import box_iou, box_area
+from yolov8_vit_tpu.ops.lowering import interpret_default
 
 
 def _fold_lanes(a: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
@@ -228,7 +229,7 @@ def efficient_nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     n, nc = scores.shape
     kp = -(-n // 128) * 128
     outl = -(-max_output // 128) * 128
@@ -360,7 +361,7 @@ def area_sorted_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
         from jax.experimental.pallas import tpu as pltpu
 
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            interpret = interpret_default()
         n = boxes.shape[0]
         kp = -(-n // 128) * 128
         fold = _fold_lanes

@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from yolov8_vit_tpu.ops.lowering import interpret_default
+
 
 def quantize_weight(w: jnp.ndarray):
     """(in, out) f32 -> (int8 (in,out), scale (out,) f32), per-out-channel."""
@@ -115,7 +117,7 @@ def quant_dense_fused(x: jnp.ndarray, w_i8: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     *lead, k = x.shape
     n = w_i8.shape[1]
     m = 1
@@ -175,7 +177,7 @@ def quant_mlp_fused(h: jnp.ndarray, residual: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     *lead, d = h.shape
     hid = w1_i8.shape[1]
     m = 1
@@ -266,7 +268,7 @@ def quant_mlp_ln_fused(x: jnp.ndarray, ln_scale, ln_bias,
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     *lead, d = x.shape
     hid = w1_i8.shape[1]
     m = 1

@@ -44,7 +44,6 @@ Engine kinds:
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any
@@ -55,7 +54,7 @@ import flax.serialization
 
 from yolov8_vit_tpu.config import DetectConfig
 from yolov8_vit_tpu.models.vit import ViTClassifier, ViTSpec
-from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+from yolov8_vit_tpu.models.yolov8 import YOLOv8, detect_spec
 from yolov8_vit_tpu.runtime.detector import decode_predictions
 
 DETECT_OUTPUTS = ("num_dets", "bboxes", "scores", "labels")
@@ -224,18 +223,15 @@ class Engine:
         self._device = device
 
         if self.kind == "detect":
-            cfg_kw = self.meta.get("detect_cfg", {})
+            # copy before tuple-ifying: cfg_kw aliases self.meta otherwise,
+            # and Engine.meta must keep equaling the on-disk meta.json
+            cfg_kw = dict(self.meta.get("detect_cfg", {}))
             if "input_size" in cfg_kw:
                 cfg_kw["input_size"] = tuple(cfg_kw["input_size"])
             if "strides" in cfg_kw:
                 cfg_kw["strides"] = tuple(cfg_kw["strides"])
             self.det_cfg = DetectConfig(**cfg_kw)
-            spec = dataclasses.replace(
-                YOLOV8_VARIANTS[self.det_cfg.variant],
-                num_classes=self.det_cfg.num_classes,
-                reg_max=self.det_cfg.reg_max, strides=self.det_cfg.strides)
-            if "det_spec" in self.meta:  # explicit overrides (custom scales)
-                spec = dataclasses.replace(spec, **self.meta["det_spec"])
+            spec = detect_spec(self.det_cfg, self.meta.get("det_spec"))
             self.model = YOLOv8(spec, fused=True)
             h, w = self.det_cfg.input_size
             self.inp_info = [type("Io", (), {"shape": (1, 3, h, w)})()]

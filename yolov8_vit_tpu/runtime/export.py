@@ -30,7 +30,7 @@ def export_detect(args) -> str:
     import jax
     import jax.numpy as jnp
     from yolov8_vit_tpu.config import DetectConfig
-    from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    from yolov8_vit_tpu.models.yolov8 import YOLOv8
     from yolov8_vit_tpu.runtime.convert import (load_torch_state_dict,
                                                 convert_yolov8)
     from yolov8_vit_tpu.runtime.engine import save_engine
@@ -43,9 +43,8 @@ def export_detect(args) -> str:
         params = convert_yolov8(load_torch_state_dict(
             args.weights, allow_pickle=args.allow_pickle))
     else:
-        spec = dataclasses.replace(YOLOV8_VARIANTS[cfg.variant],
-                                   num_classes=cfg.num_classes)
-        model = YOLOv8(spec, fused=True)
+        from yolov8_vit_tpu.models.yolov8 import detect_spec
+        model = YOLOv8(detect_spec(cfg), fused=True)
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jnp.zeros((1, args.imgsz, args.imgsz, 3)))
@@ -91,44 +90,59 @@ def _attach_compiled_blobs(path, shapes, dtype_names) -> None:
 
 
 def _write_stablehlo(fn, in_specs, out_prefix: str,
-                     platforms=("tpu",), matmul_precision=None) -> None:
+                     platforms=("tpu",), matmul_precision=None,
+                     compiler_options=None) -> None:
     """matmul_precision: None keeps the platform default (fast TPU f32 via
     bf16 passes); "highest" forces true-f32 accumulation — used by the
-    cross-platform parity test so CPU and TPU agree to ~1e-6."""
+    cross-platform parity test so CPU and TPU agree to ~1e-6.
+    compiler_options: xla flag dict baked into the .opts.pb the native
+    driver hands to PJRT_Client_Compile (e.g. the scoped-VMEM raise every
+    fused-attention spec needs, models/vit.py::vit_compiler_options).
+
+    Pallas kernels bake interpret-vs-Mosaic at TRACE time, so tracing runs
+    under `lowering_target(<target>)`: a CPU build box exporting a "tpu"
+    module emits real Mosaic kernels, not the HLO-emulated interpreter
+    loops the local backend would have chosen (ops/lowering.py)."""
     import contextlib
     import jax
     from jaxlib import xla_client
 
+    from yolov8_vit_tpu.ops.lowering import lowering_target
+
+    target = "tpu" if "tpu" in platforms else platforms[0]
     ctx = (jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())
-    with ctx:
+    with ctx, lowering_target(target):
         exp = jax.export.export(jax.jit(fn),
                                 platforms=list(platforms))(*in_specs)
     with open(out_prefix + ".mlir", "w") as f:
         f.write(exp.mlir_module())
+    copts = xla_client.CompileOptions()
+    if compiler_options:
+        copts.env_option_overrides = list(compiler_options.items())
     with open(out_prefix + ".opts.pb", "wb") as f:
-        f.write(xla_client.CompileOptions().SerializeAsString())
+        f.write(copts.SerializeAsString())
     print(f"stablehlo module -> {out_prefix}.mlir / {out_prefix}.opts.pb")
 
 
 def export_stablehlo_detect(params, cfg, out_prefix: str,
                             platforms=("tpu",),
-                            matmul_precision=None) -> None:
+                            matmul_precision=None, det_overrides=None) -> None:
     """Emit <prefix>.mlir + <prefix>.opts.pb for the C++ PJRT driver
     (csrc/pjrt_driver.cc).  The exported graph takes an NHWC float blob in
     [0,1] and returns (num_dets, bboxes, scores, labels) with weights baked
     in as constants — the full 'engine' in one artifact, like the
     reference's serialized TensorRT plan.  Lowered for TPU regardless of
-    the exporting process's platform (cross-platform jax.export)."""
-    import dataclasses as _dc
+    the exporting process's platform (cross-platform jax.export; Pallas
+    kernels lower for the target via ops/lowering.py).  det_overrides:
+    explicit YOLOv8Spec fields (engine meta "det_spec") for custom
+    scales."""
     import jax
     import jax.numpy as jnp
-    from yolov8_vit_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    from yolov8_vit_tpu.models.yolov8 import YOLOv8, detect_spec
     from yolov8_vit_tpu.runtime.detector import decode_predictions
 
-    spec = _dc.replace(YOLOV8_VARIANTS[cfg.variant],
-                       num_classes=cfg.num_classes)
-    model = YOLOv8(spec, fused=True)
+    model = YOLOv8(detect_spec(cfg, det_overrides), fused=True)
 
     def forward(x):
         return decode_predictions(model.apply(params, x), cfg)
@@ -147,7 +161,7 @@ def export_stablehlo_classify(params, spec, num_classes: int,
     -> (num_classes,) logits."""
     import jax
     import jax.numpy as jnp
-    from yolov8_vit_tpu.models.vit import ViTClassifier
+    from yolov8_vit_tpu.models.vit import ViTClassifier, vit_compiler_options
 
     model = ViTClassifier(spec, num_classes)
 
@@ -155,9 +169,11 @@ def export_stablehlo_classify(params, spec, num_classes: int,
         return model.apply(params, x)
 
     s = spec.img_size
+    target = "tpu" if "tpu" in platforms else platforms[0]
     _write_stablehlo(forward,
                      [jax.ShapeDtypeStruct((batch, s, s, 3), jnp.float32)],
-                     out_prefix, platforms)
+                     out_prefix, platforms,
+                     compiler_options=vit_compiler_options(spec, target))
 
 
 def export_stablehlo_two_stage(pipe, params, out_prefix: str,
@@ -170,6 +186,7 @@ def export_stablehlo_two_stage(pipe, params, out_prefix: str,
     (`/root/reference/docs/YOLO_TensorRT_Technical.md:232-286`)."""
     import jax
     import jax.numpy as jnp
+    from yolov8_vit_tpu.models.vit import vit_compiler_options
 
     keys = ("num_dets", "boxes", "det_scores", "det_labels", "final_valid",
             "cls_labels", "cls_scores")
@@ -179,9 +196,12 @@ def export_stablehlo_two_stage(pipe, params, out_prefix: str,
         return tuple(out[k] for k in keys)
 
     h, w = image_hw
+    target = "tpu" if "tpu" in platforms else platforms[0]
     _write_stablehlo(forward,
                      [jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)],
-                     out_prefix, platforms)
+                     out_prefix, platforms,
+                     compiler_options=vit_compiler_options(pipe.vit_spec,
+                                                           target))
 
 
 def export_classify(args) -> str:
