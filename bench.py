@@ -144,6 +144,10 @@ def main() -> None:
         batch, iters = 2, 3
         img_hw = (96, 128)
         dtype = jnp.float32
+        # report what actually runs: the smoke branch ignores
+        # --vit/--quant/--input, and echoing those args recorded a
+        # "b16-int8 @ 640" line for a tiny unquantized harness check
+        vit_tag = "tiny-smoke"
     else:
         det_cfg = DetectConfig(
             variant="s" if args.mode in ("two_stage", "serve") else "n")
@@ -164,22 +168,8 @@ def main() -> None:
                               nms_iou=0.995, custom_nms_iou=0.999)
 
     def _densify_head(params):
-        """Random-init DFL heads collapse to one huge box per image; bias
-        the bins low + sharpen the convs so a dense scene of small disjoint
-        boxes actually comes out (same trick as the dense-scene test,
-        tests/test_batch_runner.py)."""
-        import dataclasses as _dc  # noqa: F401
-        det = jax.tree.map(np.asarray, params["det"])
-        head = det["params"]["detect"]
-        reg_max = det_cfg.reg_max
-        low = -2.0 * np.tile(np.arange(reg_max, dtype=np.float32), 4)
-        for i in range(3):
-            head[f"box{i}_2"]["kernel"] = head[f"box{i}_2"]["kernel"] * 3.0
-            head[f"box{i}_2"]["bias"] = low.astype(
-                head[f"box{i}_2"]["bias"].dtype)
-            head[f"cls{i}_2"]["kernel"] = head[f"cls{i}_2"]["kernel"] * 40.0
-        params["det"] = jax.tree.map(jnp.asarray, det)
-        return params
+        from yolov8_vit_tpu.utils.densify import densify_detect_head
+        return densify_detect_head(params, det_cfg.reg_max)
 
     if args.mode in ("two_stage", "serve"):
         from yolov8_vit_tpu.models.two_stage import TwoStagePipeline
@@ -255,7 +245,7 @@ def main() -> None:
                   v / 1500.0, batch=batch, iters=iters,
                   classify_budget=args.budget,
                   step_ms=round(dt / iters * 1e3, 2),
-                  input=args.input,
+                  input="x".join(map(str, img_hw)),
                   p50_ms=round(p50, 2), p95_ms=round(p95, 2),
                   fetch_rtt_ms=round(rtts[len(rtts) // 2], 2),
                   vit=vit_tag, device=device, smoke=args.smoke,

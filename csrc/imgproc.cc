@@ -79,6 +79,14 @@ static Image DecodePpm(FILE* f) {
   Image img;
   int w, h, maxv;
   if (fscanf(f, "P6 %d %d %d", &w, &h, &maxv) != 3 || maxv > 255) return img;
+  // header fields are attacker-controlled (serving accepts uploads); the
+  // same bounds as DecodeBmp — without them a 29-byte "P6 2e9 2e9 255"
+  // header makes resize() throw std::length_error, which std::terminates
+  // the persistent serving process (inside a loader-pool thread, even an
+  // in-Python caller can't catch it)
+  if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+      int64_t(w) * h > (64 << 20))
+    return img;
   fgetc(f);  // single whitespace after header
   img.width = w;
   img.height = h;

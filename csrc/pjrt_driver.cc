@@ -445,10 +445,24 @@ int main(int argc, char** argv) {
       aw.event = th.event;
       CHECK_PJRT(api, api->PJRT_Event_Await(&aw));
     }
+    // print by the buffer's actual element type: the detect engine returns
+    // (num_dets i32, bboxes f32, scores f32, labels i32), and reading the
+    // int outputs as float shows denormal garbage ("2.8026e-45" for 2)
+    PJRT_Buffer_ElementType_Args et;
+    memset(&et, 0, sizeof(et));
+    et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+    et.buffer = out_buf[o];
+    CHECK_PJRT(api, api->PJRT_Buffer_ElementType(&et));
     printf("output[%zu]: %zu bytes:", o, host.size());
-    const float* f = reinterpret_cast<const float*>(host.data());
-    for (size_t i = 0; i < host.size() / 4 && i < 8; ++i)
-      printf(" %.4f", f[i]);
+    if (et.type == PJRT_Buffer_Type_S32 || et.type == PJRT_Buffer_Type_U32) {
+      const int32_t* v = reinterpret_cast<const int32_t*>(host.data());
+      for (size_t i = 0; i < host.size() / 4 && i < 8; ++i)
+        printf(" %d", v[i]);
+    } else {
+      const float* f = reinterpret_cast<const float*>(host.data());
+      for (size_t i = 0; i < host.size() / 4 && i < 8; ++i)
+        printf(" %.4f", f[i]);
+    }
     printf("\n");
     if (!args.dump_prefix.empty()) {
       std::ofstream out(args.dump_prefix + "_" + std::to_string(o) + ".bin",

@@ -73,20 +73,8 @@ def _mk_runner(budget, max_batch=4, mesh=None):
                          backbone_classes=40),
         classify_budget=budget)
     params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
-    # a random-init DFL head emits huge near-identical boxes everywhere
-    # (softmax expectation ~center bin x stride, clamped to the frame),
-    # which the area NMS collapses to one box per image.  Bias the DFL bins
-    # low (small anchor-centered boxes, disjoint across the grid) and
-    # sharpen the convs for score/size diversity -> genuinely dense scene.
-    det = jax.tree.map(np.asarray, params["det"])
-    head = det["params"]["detect"]
-    reg_max = 16
-    low_bins = -2.0 * np.tile(np.arange(reg_max, dtype=np.float32), 4)
-    for i in range(3):
-        head[f"box{i}_2"]["kernel"] = head[f"box{i}_2"]["kernel"] * 3.0
-        head[f"box{i}_2"]["bias"] = low_bins.copy()
-        head[f"cls{i}_2"]["kernel"] = head[f"cls{i}_2"]["kernel"] * 40.0
-    params["det"] = jax.tree.map(jax.numpy.asarray, det)
+    from yolov8_vit_tpu.utils.densify import densify_detect_head
+    params = densify_detect_head(params)
     return BatchRunner(pipe, params, max_batch=max_batch, mesh=mesh)
 
 

@@ -90,7 +90,8 @@ def test_train_export_serve_lifecycle(tmp_path):
 
     for i in range(300):
         dparams, opt, dloss = dstep(dparams, opt)
-    assert float(dloss) < 4.0, float(dloss)
+    # the loss carries ultralytics' `* batch_size` scale — assert per-image
+    assert float(dloss) / imgs.shape[0] < 4.0, float(dloss)
 
     # ---- train the tiny classifier on crops ---------------------------
     vit = ViTClassifier(VIT, 2)

@@ -124,3 +124,20 @@ def test_decode_bmp_rejects_absurd_dims(tmp_path):
     p = tmp_path / "bomb.bmp"
     p.write_bytes(hdr)
     assert native.decode_image(str(p)) is None
+
+
+def test_decode_ppm_rejects_absurd_dims(tmp_path):
+    """A 29-byte crafted PPM header claiming 2e9 x 2e9 used to throw
+    std::length_error inside resize() — std::terminate of the whole
+    process (SIGABRT), even from a loader-pool thread.  Must reject
+    gracefully like the BMP decoder; a real PPM still decodes."""
+    p = tmp_path / "bomb.ppm"
+    p.write_bytes(b"P6 2000000000 2000000000 255\n")
+    assert native.decode_image(str(p)) is None
+    neg = tmp_path / "neg.ppm"
+    neg.write_bytes(b"P6 -4 4 255\n")
+    assert native.decode_image(str(neg)) is None
+    ok = tmp_path / "ok.ppm"
+    ok.write_bytes(b"P6 2 2 255\n" + bytes(12))
+    img = native.decode_image(str(ok))
+    assert img is not None and img.shape == (2, 2, 3)

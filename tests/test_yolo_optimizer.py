@@ -62,11 +62,15 @@ def test_matches_torch_sgd_through_warmup():
     rng = np.random.default_rng(1)
     tree = _tiny_tree(rng)
     flat = list(_flatten(tree))
-    # fixed per-step synthetic gradients (deterministic, shared)
+    # fixed per-step synthetic gradients (deterministic, shared); every
+    # third step is large enough to trigger the trainer's global-norm clip
+    # at 10 (ultralytics clips before every optimizer step — the loss's
+    # `* batch_size` scale depends on it)
     n_steps = EPOCHS * SPE
     grads_per_step = [
-        {p: rng.normal(size=l.shape).astype(np.float32) * 0.1
-         for p, l in flat} for _ in range(n_steps)]
+        {p: rng.normal(size=l.shape).astype(np.float32)
+            * (40.0 if i % 3 == 0 else 0.1)
+         for p, l in flat} for i in range(n_steps)]
 
     # ---- torch side: ultralytics build_optimizer + trainer warmup --------
     tparams = {p: torch.nn.Parameter(torch.tensor(l)) for p, l in flat}
@@ -91,6 +95,7 @@ def test_matches_torch_sgd_through_warmup():
         opt.zero_grad()
         for p, _ in flat:
             tparams[p].grad = torch.tensor(grads_per_step[ni][p])
+        torch.nn.utils.clip_grad_norm_([tparams[p] for p, _ in flat], 10.0)
         opt.step()
 
     # ---- jax side --------------------------------------------------------

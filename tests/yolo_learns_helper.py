@@ -70,7 +70,10 @@ def run_arm(model, train_ds, val_ds, cfg, augment: bool, total: int):
             batches.append(tuple(jnp.asarray(a) for a in tup))
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 64, 64, 3)))
-    tx = make_yolo_optimizer(1e-2, 1.0, total, len(batches), 0)
+    # warmup at the production floor (train() uses max(3 epochs, 100));
+    # with the ultralytics-true loss scale (* batch_size) + grad clip,
+    # warmup-free SGD diverges exactly as real ultralytics would
+    tx = make_yolo_optimizer(1e-2, 1.0, total, len(batches), 100)
     opt = tx.init(params)
     step = make_yolo_train_step(model, tx, (64, 64), cfg.reg_max)
     for i in range(total):

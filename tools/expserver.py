@@ -49,11 +49,18 @@ def main():
         name = files[0]
         path = os.path.join(INBOX, name)
         # skip very fresh files: a writer may still be streaming the
-        # snippet (non-atomic writes would exec a truncated prefix)
+        # snippet (non-atomic writes would exec a truncated prefix).
+        # Bound the wait — a future mtime (cp -p across clock skew) would
+        # otherwise keep files[0] "fresh" forever and deadlock the whole
+        # queue behind it with no log line.
         try:
-            if time.time() - os.path.getmtime(path) < 0.6:
+            age = time.time() - os.path.getmtime(path)
+            if 0 <= age < 0.6:
                 time.sleep(0.3)
                 continue
+            if age < 0:
+                print(f"expserver: {name} has a future mtime ({-age:.0f}s "
+                      f"ahead); executing anyway", flush=True)
         except OSError:
             continue
         with open(path) as f:

@@ -177,17 +177,32 @@ def xml2txt(src_dir: str, dst_root: str = "train/yolo/fold0",
     """Convert a VOC dir to the fold0/{images,labels}/{train,val} layout.
 
     Returns number of images converted.  Random 80/20 split like the
-    reference (`class_config.py:139-148`).
+    reference (`class_config.py:139-148`).  The four split dirs are
+    CLEARED first: each retrain cycle redraws the random split, and stale
+    files from a prior draw would put the same image in both images/train
+    and images/val (training on the validation set — inflated mAP and a
+    corrupted best-model gate).
     """
     rng = rng or random
     for sub in ("images/train", "images/val", "labels/train", "labels/val"):
-        os.makedirs(os.path.join(dst_root, sub), exist_ok=True)
+        d = os.path.join(dst_root, sub)
+        os.makedirs(d, exist_ok=True)
+        for stale in os.listdir(d):
+            p = os.path.join(d, stale)
+            if os.path.isfile(p):
+                os.remove(p)
     n = 0
     for rec in scan_xml_dirs([src_dir]):
         split = "train" if rng.random() > val_fraction else "val"
         w = rec["width"]
         h = rec["height"]
+        # YoloDataset pairs image and label by STEM — both must come from
+        # the same name.  The copied image keeps its path basename, so the
+        # label follows it; rec["name"] (the XML <filename> tag) is only
+        # used when no image file exists to copy.
+        stem = rec["name"]
         if rec["path"] and os.path.exists(rec["path"]):
+            stem = os.path.splitext(os.path.basename(rec["path"]))[0]
             shutil.copy(rec["path"], os.path.join(dst_root, "images", split))
             if not (w and h):
                 from PIL import Image
@@ -196,7 +211,7 @@ def xml2txt(src_dir: str, dst_root: str = "train/yolo/fold0",
         if not (w and h):
             continue
         with open(os.path.join(dst_root, "labels", split,
-                               rec["name"] + ".txt"), "w") as f:
+                               stem + ".txt"), "w") as f:
             for obj in rec["objects"]:
                 if obj["label"] < 0:
                     # unknown class name: parse_voc_xml maps it to -1 (the

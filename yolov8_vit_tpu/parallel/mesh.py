@@ -20,12 +20,22 @@ from jax.sharding import Mesh
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
               devices=None) -> Mesh:
-    """Build an (data, model) mesh. Defaults to all devices on the data axis."""
+    """Build an (data, model) mesh.  Defaults to ALL devices on the data
+    axis; an explicit smaller n_data subsets deliberately.  Raises instead
+    of silently idling chips (n_model not dividing the device count used
+    to drop the remainder) or building a 0-device mesh (n_model > n failed
+    confusingly at the first pjit otherwise)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
+        if n % n_model:
+            raise ValueError(
+                f"n_model={n_model} does not divide the {n} available "
+                f"devices; pass n_data explicitly to subset deliberately")
         n_data = n // n_model
-    assert n_data * n_model <= n, (n_data, n_model, n)
+    if n_data < 1 or n_model < 1 or n_data * n_model > n:
+        raise ValueError(f"mesh {n_data}x{n_model} does not fit "
+                         f"{n} devices")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 

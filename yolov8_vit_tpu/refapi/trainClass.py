@@ -51,6 +51,13 @@ def classExport(CFG=_CFG(), pretrained: str | None = None,
     load the fine-tuned wrapper weights and export the inference engine
     (an engine directory here instead of ONNX)."""
     _model, params = build_model(CFG, pretrained, modelName, spec=spec)
+    if spec is None and modelName is not None:
+        # the engine meta must describe the architecture the params came
+        # from: _class_export falls back to CFG.model_name when spec is
+        # None, which for a modelName override would write a meta.json
+        # that reconstructs the WRONG model at Engine load
+        from yolov8_vit_tpu.refapi import spec_from_timm_name
+        spec = spec_from_timm_name(modelName)
     return _class_export(params, CFG, out_dir, spec=spec)
 
 

@@ -70,15 +70,19 @@ def train(cfg: CFG = CFG(), log: bool = False, mesh=None,
         cfg=cfg, spec=_spec_for(cfg), mesh=mesh,
         log_path=os.path.join(workdir, "train/result.json"),
         log_fn=log_fn)
-    params, opt_state = trainer.init()
+    # trainer.init() is a multi-second jitted model.init compile — only pay
+    # it when no weights are supplied (the normal retrain path resumes from
+    # the prior best and needs just the optimizer state for its tree)
+    pre = os.path.join(workdir, cfg.pretrained)
     if init_params is not None:
         params = init_params
+        opt_state = trainer.optimizer.init(params)
+    elif os.path.isdir(pre):
+        params = Engine(pre).params
+        opt_state = trainer.optimizer.init(params)
+        log_fn(f"resumed from {pre}")
     else:
-        pre = os.path.join(workdir, cfg.pretrained)
-        if os.path.isdir(pre):
-            params = Engine(pre).params
-            opt_state = trainer.optimizer.init(params)
-            log_fn(f"resumed from {pre}")
+        params, opt_state = trainer.init()
 
     train_data, valid_data = build_dataloaders(
         _with_workdir(cfg, workdir))

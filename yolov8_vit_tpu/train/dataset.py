@@ -28,6 +28,24 @@ from yolov8_vit_tpu.data.voc import scan_xml_dirs
 from yolov8_vit_tpu.train.augment import train_transform, eval_transform
 
 
+def _bounded_map(pool: ThreadPoolExecutor, fn, items, window: int):
+    """Order-preserving pool.map with a bounded in-flight window.
+
+    Executor.map submits the ENTIRE iterable up front, so the workers race
+    ahead of the consumer and buffer every decoded image of the epoch in
+    completed futures (~600 KB per 224px f32 crop — tens of GB on a large
+    dataset).  Capping the pending deque keeps at most `window` decoded
+    items alive while preserving the deterministic iteration order."""
+    from collections import deque
+    pending = deque()
+    for x in items:
+        pending.append(pool.submit(fn, x))
+        if len(pending) >= window:
+            yield pending.popleft().result()
+    while pending:
+        yield pending.popleft().result()
+
+
 def split_by_circle(dirs: Sequence[str], rng: random.Random | None = None,
                     skip_names: Sequence[str] = ("well5_0011.jpg",)):
     """Scan XML dirs -> (objects, objects_circle) flat per-object records."""
@@ -133,7 +151,9 @@ class ClassifierData:
         loader = load_train if self.training else load_eval
         with ThreadPoolExecutor(self.workers) as pool:
             batch_imgs, batch_labels = [], []
-            for img, label in pool.map(loader, items):
+            for img, label in _bounded_map(
+                    pool, loader, items,
+                    window=max(2 * batch_size, 2 * self.workers)):
                 batch_imgs.append(img)
                 batch_labels.append(label)
                 if len(batch_imgs) == batch_size:

@@ -193,6 +193,16 @@ class ViTTrainer:
                 opt_state = state["opt_state"]
                 best_val_acc = float(state["extra"].get("best_val_acc", 0.0))
                 start_epoch = latest + 1
+                # carry the pre-resume epoch metrics forward: the log below
+                # rewrites log_path wholesale, and restarting `results`
+                # empty would truncate result.json to post-resume epochs
+                if log and self.log_path and os.path.exists(self.log_path):
+                    try:
+                        with open(self.log_path) as f:
+                            results = {int(k): v
+                                       for k, v in json.load(f).items()}
+                    except (OSError, ValueError):
+                        results = {}
                 self.log_fn(f"resumed from checkpoint step {latest} "
                             f"(best {best_val_acc:.2f}%)")
         for epoch in range(start_epoch, self.cfg.epoch + 1):

@@ -159,8 +159,12 @@ def yolo_detection_loss(box_dist: jnp.ndarray, cls_logits: jnp.ndarray,
       gt_boxes: (B, G, 4) xyxy input pixels (padded).
       gt_labels: (B, G) int.
       gt_mask: (B, G) bool.
-    Returns (total, {box, cls, dfl}) — per-image mean, matching the
-    ultralytics formulation (sum over fg / fg score sum, times gains).
+    Returns (total, {box, cls, dfl}).  Normalization matches ultralytics'
+    v8DetectionLoss exactly: one BATCH-wide target-score sum, gains, then
+    `* batch_size` (their gradient-accumulation convention — the pinned
+    lr0/momentum recipe assumes this scale; a per-image mean would make
+    gradients ~batch-times smaller than the recipe expects).  The logged
+    parts are the unscaled per-component terms (their loss_items).
     """
     b, a, _ = cls_logits.shape
     anchors, stride = make_anchors(input_hw, strides)
@@ -175,29 +179,28 @@ def yolo_detection_loss(box_dist: jnp.ndarray, cls_logits: jnp.ndarray,
         axis=-1) * stride[None, :, :]                          # xyxy px
 
     def per_image(ps, pb, gb, gl, gm):
-        fg, agt, tscore = task_aligned_assign(
-            ps, pb, anchors_px, gb, gl, gm)
-        tsum = jnp.maximum(tscore.sum(), 1.0)
-        return fg, agt, tscore, tsum
+        return task_aligned_assign(ps, pb, anchors_px, gb, gl, gm)
 
     # assignment is a (non-differentiable) target-construction step — run it
     # gradient-stopped like ultralytics' no_grad assigner; x**0.5 in the
     # alignment metric otherwise injects inf grads at score->0
-    fg, agt, tscore, tsum = jax.lax.stop_gradient(jax.vmap(per_image)(
+    fg, agt, tscore = jax.lax.stop_gradient(jax.vmap(per_image)(
         jax.lax.stop_gradient(pred_scores),
         jax.lax.stop_gradient(pred_boxes), gt_boxes, gt_labels, gt_mask))
+    # ONE batch-wide normalizer (ultralytics target_scores_sum)
+    tsum = jnp.maximum(tscore.sum(), 1.0)
 
     # cls: BCE with aligned scores
     xl = cls_logits
     bce = jnp.maximum(xl, 0) - xl * tscore + jnp.log1p(jnp.exp(-jnp.abs(xl)))
-    cls_loss = bce.sum((1, 2)) / tsum
+    cls_loss = bce.sum() / tsum
 
     # box + dfl on fg anchors
     tgt_boxes = jnp.take_along_axis(gt_boxes, agt[..., None], axis=1)  # (B,A,4)
     weight = jnp.where(fg, tscore.sum(-1), 0.0)                 # (B, A)
 
     ciou = pairwise_ciou(pred_boxes, tgt_boxes)                 # (B, A)
-    box_loss = ((1.0 - ciou) * weight).sum(-1) / tsum
+    box_loss = ((1.0 - ciou) * weight).sum() / tsum
 
     # dfl target: gt ltrb distances in feature units, clamped
     tb = tgt_boxes / stride[None, :, :]                         # (B, A, 4)
@@ -205,10 +208,10 @@ def yolo_detection_loss(box_dist: jnp.ndarray, cls_logits: jnp.ndarray,
         [anchors[None] - tb[..., :2], tb[..., 2:] - anchors[None]], -1)
     tgt_ltrb = tgt_ltrb.clip(0, reg_max - 1 - 0.01)
     dfl = _dfl_loss(box_dist.reshape(b, a, 4, reg_max), tgt_ltrb, reg_max)
-    dfl_loss_v = (dfl * weight).sum(-1) / tsum
+    dfl_loss_v = (dfl * weight).sum() / tsum
 
     g_box, g_cls, g_dfl = gains
-    total = (g_box * box_loss + g_cls * cls_loss + g_dfl * dfl_loss_v).mean()
-    parts = {"box": box_loss.mean(), "cls": cls_loss.mean(),
-             "dfl": dfl_loss_v.mean()}
+    total = (g_box * box_loss + g_cls * cls_loss + g_dfl * dfl_loss_v) * b
+    parts = {"box": g_box * box_loss, "cls": g_cls * cls_loss,
+             "dfl": g_dfl * dfl_loss_v}
     return total, parts

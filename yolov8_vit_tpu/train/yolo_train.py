@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from yolov8_vit_tpu.config import DetectConfig
-from yolov8_vit_tpu.models.yolov8 import (YOLOv8, YOLOV8_VARIANTS,
+from yolov8_vit_tpu.models.yolov8 import (YOLOv8, detect_spec,
                                           flatten_head_outputs)
 from yolov8_vit_tpu.runtime.detector import decode_predictions
 from yolov8_vit_tpu.runtime.engine import Engine, save_engine
@@ -161,9 +161,10 @@ class YoloDataset:
         if augment:                                  # HSV color jitter
             img = augment_hsv(np.ascontiguousarray(img), rng, *self.hsv)
 
+        # _letterbox_host is channel-agnostic (resize + gray-114 pad), so
+        # RGB goes straight through — no BGR round-trip copies
         lb_img, ratio, (dw, dh) = _letterbox_host(
-            img[..., ::-1], (self.img_size, self.img_size))  # expects BGR
-        lb_img = lb_img[..., ::-1]                           # back to RGB
+            img, (self.img_size, self.img_size))
         boxes = boxes * ratio + np.array([dw, dh, dw, dh], np.float32)
 
         g = min(len(boxes), self.max_gt)
@@ -240,8 +241,12 @@ class YoloDataset:
 # training
 # --------------------------------------------------------------------------
 
-def make_yolo_train_step(model: YOLOv8, tx, input_hw, reg_max=16, mesh=None):
+def make_yolo_train_step(model: YOLOv8, tx, input_hw, reg_max=16, mesh=None,
+                         strides=(8, 16, 32)):
     """Jitted (optionally data-sharded) YOLO train step.
+
+    `strides` must match the model head's (the loss builds its anchor grid
+    from them; a mismatch desynchronizes anchors from the flattened head).
 
     With a mesh, batch arrays shard over the `data` axis and params/opt
     state replicate — the XLA partitioner inserts the gradient psums
@@ -250,7 +255,8 @@ def make_yolo_train_step(model: YOLOv8, tx, input_hw, reg_max=16, mesh=None):
         def loss_fn(p):
             bd, cl = flatten_head_outputs(model.apply(p, imgs))
             total, parts = yolo_detection_loss(bd, cl, boxes, labels, mask,
-                                               input_hw, reg_max=reg_max)
+                                               input_hw, strides=strides,
+                                               reg_max=reg_max)
             return total, parts
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -349,6 +355,9 @@ def make_yolo_optimizer(lr0: float, lrf: float, epochs: int,
       * warmup (first `warmup_steps` batches): bias LR ramps DOWN from
         `warmup_bias_lr` to lr(epoch), other groups ramp up from 0;
         momentum ramps `warmup_momentum` -> `momentum`;
+      * global grad-norm clip at 10.0 BEFORE decay/momentum (ultralytics
+        BaseTrainer.optimizer_step clips every step; essential stability
+        partner of the loss's `* batch_size` scale);
       * nesterov momentum, torch update order (decay added to the gradient
         before the momentum buffer, update = g + mu*v);
       * per-EPOCH decay factor lf(epoch) = (1-e/E)*(1-lrf)+lrf (stairstep,
@@ -356,7 +365,7 @@ def make_yolo_optimizer(lr0: float, lrf: float, epochs: int,
         one-cycle when cos_lr.
 
     Pinned numerically against torch.optim.SGD with the ultralytics group
-    construction in tests/test_yolo_optimizer.py.
+    construction + clip_grad_norm_ in tests/test_yolo_optimizer.py.
     """
     import optax as _optax
 
@@ -382,6 +391,11 @@ def make_yolo_optimizer(lr0: float, lrf: float, epochs: int,
         if params is None:
             raise ValueError("make_yolo_optimizer requires params")
         ni = state["count"]
+        # torch.nn.utils.clip_grad_norm_(max_norm=10): coef = 10/(norm+eps),
+        # applied only when < 1
+        gnorm = _optax.global_norm(grads)
+        clip = jnp.minimum(1.0, 10.0 / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * clip, grads)
         epoch = (ni // max(steps_per_epoch, 1)).astype(jnp.float32)
         base = lr0 * lf(epoch)
         lr_w = interp(ni, 0.0, base)
@@ -429,10 +443,7 @@ def train(epochs: int, batch: int, data_root: str,
     compiles once and is cached).
     Returns (params, {"preval": ..., "final": ...}).
     """
-    spec = dataclasses.replace(YOLOV8_VARIANTS[cfg.variant],
-                               num_classes=cfg.num_classes,
-                               reg_max=cfg.reg_max, strides=cfg.strides)
-    model = YOLOv8(spec, fused=True)
+    model = YOLOv8(detect_spec(cfg), fused=True)
     size = cfg.input_size[0]
     if weights and os.path.isdir(weights):
         params = Engine(weights).params
@@ -459,7 +470,8 @@ def train(epochs: int, batch: int, data_root: str,
                              warmup_steps, cos_lr)
     opt_state = tx.init(params)
     steps = {cfg.input_size[0]: make_yolo_train_step(
-        model, tx, cfg.input_size, cfg.reg_max, mesh=mesh)}
+        model, tx, cfg.input_size, cfg.reg_max, mesh=mesh,
+        strides=cfg.strides)}
 
     from yolov8_vit_tpu.train.ema import EMA
     ema = EMA(params) if use_ema else None
@@ -479,7 +491,8 @@ def train(epochs: int, batch: int, data_root: str,
                 boxes_d = jnp.asarray(boxes) * (sz / size)
                 if sz not in steps:
                     steps[sz] = make_yolo_train_step(
-                        model, tx, (sz, sz), cfg.reg_max, mesh=mesh)
+                        model, tx, (sz, sz), cfg.reg_max, mesh=mesh,
+                        strides=cfg.strides)
             else:
                 imgs_d, boxes_d = jnp.asarray(imgs), jnp.asarray(boxes)
             params, opt_state, loss, parts = steps[sz](
