@@ -111,3 +111,42 @@ def test_xml2txt_skips_unknown_labels(tmp_path):
             lines += open(os.path.join(d, f)).read().splitlines()
     assert len(lines) == 1                       # the good object only
     assert lines[0].split()[0] == "0"
+
+
+def test_xml2txt_resplit_leaves_no_stale_files(tmp_path):
+    """Each retrain cycle redraws the random 80/20 split; files from a
+    prior draw must not survive (the same image in both images/train and
+    images/val would train on the validation set)."""
+    src = str(tmp_path / "new")
+    dst = str(tmp_path / "fold0")
+    _make_labeled_images(src, 12)
+    xml2txt(src, dst, rng=random.Random(0))
+    xml2txt(src, dst, rng=random.Random(7))   # different draw
+    for kind in ("images", "labels"):
+        names = {split: set(os.listdir(os.path.join(dst, kind, split)))
+                 for split in ("train", "val")}
+        assert not names["train"] & names["val"], (kind, names)
+        assert len(names["train"]) + len(names["val"]) == 12
+
+
+def test_xml2txt_pairs_label_with_copied_image_stem(tmp_path):
+    """A VOC file whose <filename> tag differs from its image path must
+    still produce a PAIRED image+label (YoloDataset matches by stem; a
+    label under the tag stem next to an image under the path stem was
+    silently dropped from training)."""
+    src = str(tmp_path / "new")
+    os.makedirs(src)
+    img = Image.fromarray(np.zeros((60, 80, 3), np.uint8))
+    img.save(os.path.join(src, "IMG_4231.jpg"))
+    generate_annotation("", "frame_001.jpg", "IMG_4231.jpg",
+                        [{"sort": "good", "xmin": 1, "ymin": 2,
+                          "xmax": 30, "ymax": 40}],
+                        save_dir=src, image_size=(80, 60))
+    dst = str(tmp_path / "fold0")
+    xml2txt(src, dst, rng=random.Random(0))
+    for split in ("train", "val"):
+        imgs = {os.path.splitext(f)[0]
+                for f in os.listdir(os.path.join(dst, "images", split))}
+        lbls = {os.path.splitext(f)[0]
+                for f in os.listdir(os.path.join(dst, "labels", split))}
+        assert imgs == lbls, (split, imgs, lbls)

@@ -121,3 +121,16 @@ def test_mesh_eval_handles_partial_tail_batch():
     params, opt_state, loss, acc = tr.train_one_epoch(
         params, opt_state, loader([8, 3]), epoch0=0)
     assert np.isfinite(loss)
+
+
+def test_mesh_rejects_bad_factorizations():
+    """Silent failure modes become errors: a non-dividing n_model used to
+    drop the remainder chips with no warning, and n_model > n built a
+    0-device mesh that failed confusingly at the first pjit."""
+    with pytest.raises(ValueError):
+        make_mesh(n_model=3)            # 3 does not divide 8
+    with pytest.raises(ValueError):
+        make_mesh(n_model=16)           # exceeds the 8 virtual devices
+    with pytest.raises(ValueError):
+        make_mesh(n_data=5, n_model=2)  # 10 > 8
+    assert make_mesh(n_data=3, n_model=2).devices.shape == (3, 2)  # subset ok

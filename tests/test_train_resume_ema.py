@@ -60,3 +60,24 @@ def test_fit_resumes_from_checkpointer(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
     ck.close()
+
+
+def test_fit_resume_preserves_result_json(tmp_path):
+    """result.json is rewritten wholesale each epoch; a resumed run must
+    carry the pre-resume epochs forward instead of truncating the log to
+    post-resume epochs (the exact case the checkpointer exists for)."""
+    import json
+    cfg = CFG(epoch=3, train_bs=4, lr=1e-3)
+    log_path = str(tmp_path / "result.json")
+    ck = TrainCheckpointer(str(tmp_path / "ck"))
+    t = ViTTrainer(cfg=cfg, spec=TINY, log_path=log_path,
+                   log_fn=lambda *a: None)
+    params, opt = t.init()
+    t.fit(params, opt, _loaders(), _loaders(), log=True,
+          checkpointer=ck, stop_after_epoch=2)
+    assert set(json.load(open(log_path))) == {"1", "2"}
+    t2 = ViTTrainer(cfg=cfg, spec=TINY, log_path=log_path,
+                    log_fn=lambda *a: None)
+    t2.fit(params, opt, _loaders(), _loaders(), log=True, checkpointer=ck)
+    assert set(json.load(open(log_path))) == {"1", "2", "3"}
+    ck.close()
