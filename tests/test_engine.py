@@ -310,3 +310,22 @@ def test_export_cli_attaches_compiled(tmp_path):
     assert (1, 64, 64, 3) in eng._compiled
     num, bb, sc, lb = eng(np.zeros((1, 3, 64, 64), np.float32))
     assert bb.shape == (1, 16, 4)
+
+
+def test_attach_aot_cross_lowers_for_tpu(classify_engine):
+    """A CPU build box can attach TPU-targeted .jaxexp blobs
+    (attach_aot(platform="tpu")): the blob name carries the tpu platform
+    tag, its module embeds real Mosaic kernels when the spec uses them,
+    and a CPU Engine ignores it (platform-tagged, like a TRT plan)."""
+    import os
+    from jax import export as jax_export
+    from yolov8_vit_tpu.runtime.engine import attach_aot
+
+    written = attach_aot(classify_engine, [(2, 32, 32, 3)], platform="tpu")
+    assert all(w.endswith("_tpu.jaxexp") for w in written)
+    exp = jax_export.deserialize(bytearray(open(written[0], "rb").read()))
+    assert exp.platforms == ("tpu",)
+    # the CPU Engine must NOT register the tpu blob
+    eng = Engine(classify_engine)
+    assert all("_tpu.jaxexp" not in os.path.basename(p)
+               for p in eng._aot.values())

@@ -103,18 +103,25 @@ def _parse_aot_name(name: str, ext: str = ".jaxexp"):
     return shape, in_dtype, act_dtype or in_dtype, parts[2]
 
 
-def attach_aot(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
+def attach_aot(path: str, input_shapes, dtype=jnp.float32,
+               platform: str | None = None) -> list[str]:
     """Export + serialize the engine's forward for the given NHWC input
-    shapes into `<path>/aot/` (build.py's serialized-plan step).  Blobs are
-    exported for the CURRENT jax backend — kernel lowering (Pallas
-    interpret mode etc.) is baked at trace time, so a blob is only valid on
-    the platform that built it, exactly like a TensorRT plan is
-    GPU-specific.  Returns the written file paths."""
+    shapes into `<path>/aot/` (build.py's serialized-plan step).  A blob is
+    only valid on the platform it was lowered FOR (kernel lowering — Mosaic
+    vs interpret — is baked at trace time, exactly like a TensorRT plan is
+    GPU-specific); by default that is the current jax backend, but
+    `platform="tpu"` cross-lowers from any build box (jax.export
+    multi-platform + ops/lowering.py target scoping), so a CPU CI machine
+    can ship engine dirs whose blobs load trace-free on the serving TPU —
+    one better than TRT, which must build on the target GPU.  Returns the
+    written file paths."""
     from jax import export as jax_export
+
+    from yolov8_vit_tpu.ops.lowering import lowering_target
     # _load_aot=False: this Engine exists only to trace _forward — scanning
     # (and possibly warning about) half-attached blobs here is noise
     eng = Engine(path, dtype=dtype, _load_aot=False)
-    platform = jax.default_backend()
+    platform = platform or jax.default_backend()
     adir = os.path.join(path, "aot")
     os.makedirs(adir, exist_ok=True)
     params_abs = jax.tree.map(
@@ -123,8 +130,10 @@ def attach_aot(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
     in_dtype = eng._input_dtype
     written = []
     for shp in input_shapes:
-        exp = jax_export.export(jax.jit(eng._forward))(
-            params_abs, jax.ShapeDtypeStruct(tuple(shp), in_dtype))
+        with lowering_target(platform):
+            exp = jax_export.export(jax.jit(eng._forward),
+                                    platforms=[platform])(
+                params_abs, jax.ShapeDtypeStruct(tuple(shp), in_dtype))
         out = os.path.join(adir, _aot_name(tuple(shp), in_dtype, eng.dtype,
                                            platform))
         with open(out, "wb") as f:

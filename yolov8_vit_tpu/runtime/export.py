@@ -58,23 +58,27 @@ def export_detect(args) -> str:
         export_stablehlo_detect(params, cfg, args.stablehlo)
     if args.aot:
         _attach_aot_blobs(path, [(b, args.imgsz, args.imgsz, 3)
-                                 for b in args.aot], args.aot_dtype)
+                                 for b in args.aot], args.aot_dtype,
+                          args.aot_platform)
     if args.compiled:
         _attach_compiled_blobs(path, [(b, args.imgsz, args.imgsz, 3)
                                       for b in args.compiled], args.aot_dtype)
     return path
 
 
-def _attach_aot_blobs(path, shapes, dtype_names) -> None:
+def _attach_aot_blobs(path, shapes, dtype_names, platform=None) -> None:
     """Attach AOT blobs for every requested activation dtype.  Production
     serving loads engines at bf16 while debugging/parity runs use f32; a
     blob only matches an Engine opened at the dtype it was traced with
     (engine.py::_parse_aot_name), so exporting for both keeps the
-    deserialize-instead-of-retrace cold start in either configuration."""
+    deserialize-instead-of-retrace cold start in either configuration.
+    platform: cross-lower for another backend (e.g. 'tpu' from a CPU CI
+    box — the blob then loads trace-free on the serving chip)."""
     import jax.numpy as jnp
     from yolov8_vit_tpu.runtime.engine import attach_aot
     for dn in dtype_names:
-        for p in attach_aot(path, shapes, dtype=jnp.dtype(dn)):
+        for p in attach_aot(path, shapes, dtype=jnp.dtype(dn),
+                            platform=platform):
             print(f"aot executable -> {p}")
 
 
@@ -245,7 +249,8 @@ def export_classify(args) -> str:
                                   args.stablehlo)
     if args.aot:
         _attach_aot_blobs(path, [(b, spec.img_size, spec.img_size, 3)
-                                 for b in args.aot], args.aot_dtype)
+                                 for b in args.aot], args.aot_dtype,
+                          args.aot_platform)
     if args.compiled:
         _attach_compiled_blobs(path, [(b, spec.img_size, spec.img_size, 3)
                                       for b in args.compiled],
@@ -309,7 +314,7 @@ def main(argv=None):
                                                        [640, 640])
             if args.aot:
                 _attach_aot_blobs(path, [(b, h, w, 3) for b in args.aot],
-                                  args.aot_dtype)
+                                  args.aot_dtype, args.aot_platform)
             if args.compiled:
                 _attach_compiled_blobs(path, [(b, h, w, 3)
                                               for b in args.compiled],
@@ -333,6 +338,13 @@ def main(argv=None):
                             "compile load, the true deserializeCudaEngine "
                             "analogue.  Chip/toolchain-specific: run this "
                             "on the serving device")
+        p.add_argument("--aot-platform", default=None,
+                       choices=["tpu", "cpu"],
+                       help="cross-lower the .jaxexp AOT blobs for this "
+                            "backend instead of the current one (e.g. "
+                            "'tpu' from a CPU build box — the blob loads "
+                            "trace-free on the serving chip; .jaxcomp "
+                            "still requires the target device)")
         p.add_argument("--aot-dtype", nargs="*",
                        default=["bfloat16", "float32"],
                        choices=["bfloat16", "float32"],
