@@ -471,3 +471,64 @@ def test_serve_server_is_threaded(service):
         assert "standard" in cfg                  # served while SSE is live
     finally:
         httpd.shutdown()
+
+
+def test_download_filename_from_url_path_not_query(tmp_path):
+    """Presigned URLs carry '/' and '.' inside query signatures; the saved
+    name must come from the URL PATH component (basename on the raw URL
+    picked the signature tail), and same-basename URLs in one folder must
+    not overwrite each other (one request's camA/img.jpg + camB/img.jpg
+    silently dropped an image before)."""
+    import http.server
+    from yolov8_vit_tpu.serve.downloads import download_images
+
+    ok, img = cv2.imencode(".jpg", np.zeros((8, 8, 3), np.uint8))
+    assert ok
+    payload = img.tobytes()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    save = tmp_path / "input"
+    try:
+        p1 = download_images(
+            f"http://127.0.0.1:{port}/cams/a/img.jpg?sig=AbC/XyZ.qrs",
+            str(save), 1)
+        assert os.path.basename(p1) == "img.jpg", p1
+        p2 = download_images(
+            f"http://127.0.0.1:{port}/cams/b/img.jpg", str(save), 1)
+        assert p2 and p2 != p1, (p1, p2)         # disambiguated, not clobbered
+        assert os.path.exists(p1) and os.path.exists(p2)
+    finally:
+        srv.shutdown()
+
+
+def test_map_and_heatmap_pages_escape_user_content():
+    """XSS hardening: the raw ?location= query reflects into the <h3>, and
+    marker classes come verbatim from POST /getImage objects[0]['sort'] —
+    both must be inert in HTML (a '</script>' inside the embedded JSON
+    ends the script element regardless of JS string context)."""
+    from yolov8_vit_tpu.serve.templates import map_page, heatmap_page
+
+    evil_cls = "</script><script>evil()</script>"
+    html = map_page([{"lat": 1.0, "lng": 2.0, "cls": evil_cls}], (2.0, 1.0),
+                    location_label="<script>alert(1)</script>")
+    assert "</script><script>evil" not in html
+    assert "<script>alert" not in html
+    assert "near &lt;script&gt;" in html
+    # unknown classes still get a filter button + dot (drawn client-side);
+    # the payload keeps them, '<'-escaped
+    assert "\\u003c/script" in html
+    html2 = heatmap_page([{"lng": 1.0, "lat": 2.0, "count": 2}])
+    assert "const pts" in html2

@@ -134,8 +134,12 @@ class InspectionService:
         out_dir = os.path.join(self.workdir, "output")
         os.makedirs(train_new, exist_ok=True)
         os.makedirs(out_dir, exist_ok=True)
+        from urllib.parse import urlsplit
         image = download_images(url, train_new, 0)
-        basename = safe_filename(os.path.basename(url).split("?")[0])
+        # path component only: basename on the raw URL picks the tail of a
+        # query value when the signature carries '/' (downloads.py shares
+        # this rule)
+        basename = safe_filename(os.path.basename(urlsplit(url).path))
         if image is False:
             return {"错误": f"download failed: {url}"}
         cv2.imwrite(os.path.join(train_new, basename), image)

@@ -23,6 +23,24 @@ def safe_filename(name: str, default_ext: str = ".jpg") -> str:
     return name
 
 
+def claim_unique_path(save_path: str) -> str:
+    """Reserve a collision-free variant of save_path (stem, stem-1, ...).
+
+    Two URLs in one upload request can share a basename (camA/img.jpg and
+    camB/img.jpg); overwriting would silently drop one image from the
+    response.  O_CREAT|O_EXCL makes the claim atomic across the parallel
+    download threads."""
+    stem, ext = os.path.splitext(save_path)
+    for n in range(1000):
+        candidate = save_path if n == 0 else f"{stem}-{n}{ext}"
+        try:
+            os.close(os.open(candidate, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return candidate
+        except FileExistsError:
+            continue
+    return save_path
+
+
 def download_images(url: str, save_folder: str, save_flag: bool | int = True):
     """GET url -> decode to BGR ndarray.
 
@@ -46,7 +64,11 @@ def download_images(url: str, save_folder: str, save_flag: bool | int = True):
     if not save_flag:
         return image
 
-    image_filename = os.path.basename(url).split("?")[0]
+    # split the URL FIRST: basename on the raw string picks the tail of a
+    # query value when the signature carries '/' (presigned URLs routinely
+    # do), and a '#fragment' would survive into the extension
+    from urllib.parse import urlsplit
+    image_filename = os.path.basename(urlsplit(url).path)
     if not image_filename:
         cd = response.headers.get("content-disposition")
         if cd:
@@ -62,8 +84,8 @@ def download_images(url: str, save_folder: str, save_flag: bool | int = True):
     # final path component and refuse anything that could escape save_folder.
     image_filename = safe_filename(image_filename)
 
-    save_path = os.path.join(save_folder, image_filename)
     os.makedirs(save_folder, exist_ok=True)
+    save_path = claim_unique_path(os.path.join(save_folder, image_filename))
     try:
         cv2.imwrite(save_path, image)
         return save_path

@@ -122,7 +122,7 @@ def _inflate(box, img_w, img_h):
 
 def main(Engine, imgs, device=None, model_list: Sequence = (),
          transform=None, aliyunoss=None, func: Callable | None = None,
-         conf_threshold: float = 0.35, save_draw_dir: str | None = None,
+         conf_threshold: float | None = None, save_draw_dir: str | None = None,
          upload_prefix: str = "FuChuang/", crop_size: int = 224):
     """Run two-stage inference over images; return flattened sorted tuples.
 
@@ -143,11 +143,14 @@ def main(Engine, imgs, device=None, model_list: Sequence = (),
     del device, transform
     det_cfg = getattr(Engine, "det_cfg")
     h_in, w_in = det_cfg.input_size
-    # the second-stage NMS threshold comes from the engine's config (the
-    # reference hardcodes 0.45, which is DetectConfig's default too; the
-    # fused pipeline reads the same field, so host and fused paths agree
-    # at any configuration)
+    # the second-stage thresholds come from the engine's config (the
+    # reference hardcodes 0.45/0.35, which are DetectConfig's defaults too;
+    # the fused pipeline reads the same fields, so host and fused paths
+    # agree at any configuration — an explicit conf_threshold argument
+    # still overrides)
     area_iou = getattr(det_cfg, "custom_nms_iou", 0.45)
+    if conf_threshold is None:
+        conf_threshold = getattr(det_cfg, "conf_second", 0.35)
     results = []
     for path in path_to_list(imgs):
         bgr = cv2.imread(path)
@@ -170,7 +173,9 @@ def main(Engine, imgs, device=None, model_list: Sequence = (),
         ih, iw = bgr.shape[:2]
         bboxes = bboxes.clip([0, 0, 0, 0], [iw, ih, iw, ih])
 
-        keep = scores >= conf_threshold
+        # strictly > like the device kernel (ops/nms.py area_sorted_nms) —
+        # a >= here diverged from the fused path on exact-boundary scores
+        keep = scores > conf_threshold
         bboxes, scores, labels = bboxes[keep], scores[keep], labels[keep]
 
         # custom area-sorted second NMS (reference README.md:41-84)
@@ -178,13 +183,14 @@ def main(Engine, imgs, device=None, model_list: Sequence = (),
         bboxes, scores, labels = bboxes[kept], scores[kept], labels[kept]
 
         objects = []
-        crops = []
-        rgb_full = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        for box in bboxes:
-            ib = _inflate(np.round(box), iw, ih)
-            crops.append(_crop_nearest_224(rgb_full, ib, crop_size))
         cls_ids = labels.astype(int).tolist()
-        if crops and model_list:
+        # crops exist only to feed the classifier — detect-only serving
+        # (empty model_list) must not pay a 224x224 gather per box
+        if len(bboxes) and model_list:
+            rgb_full = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            crops = [_crop_nearest_224(rgb_full, _inflate(np.round(b),
+                                                          iw, ih), crop_size)
+                     for b in bboxes]
             batch = np.stack(crops).astype(np.float32) / 255.0 * 2.0 - 1.0
             logits = np.asarray(model_list[0](
                 jnp.asarray(batch.transpose(0, 3, 1, 2))))

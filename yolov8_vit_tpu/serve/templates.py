@@ -92,11 +92,24 @@ _CLASS_COLORS = {"good": "#6fbf73", "broke": "#e58bb0", "lose": "#9e9e9e",
                  "uncovered": "#f29b38", "circle": "#6fb3e0"}
 
 
+def _js_payload(obj) -> str:
+    """JSON safe to embed inside a <script> element: json.dumps leaves '<'
+    alone, so a user-supplied string containing '</script>' would END the
+    script element mid-JSON (HTML parsing ignores JS string context) and
+    inject attacker markup — stored XSS via e.g. the objects[0]['sort']
+    field of POST /getImage.  \\u003c is identical JSON, inert in HTML."""
+    return json.dumps(obj).replace("<", "\\u003c")
+
+
 def map_page(markers: list[dict], center: tuple[float, float],
              location_label: str = "") -> str:
     """markers: [{lat, lng, cls}] -> filterable SVG scatter + heat density."""
-    payload = json.dumps({"markers": markers, "center": center,
-                          "colors": _CLASS_COLORS})
+    import html as _html
+    payload = _js_payload({"markers": markers, "center": center,
+                           "colors": _CLASS_COLORS})
+    # location_label is the raw ?location= query value — escape it or
+    # GET /map?location=<script>... is reflected XSS
+    label = _html.escape(location_label)
     return """<!doctype html><html><head><meta charset="utf-8">
 <title>Cover Map</title><style>
 body{font-family:system-ui;margin:2em;background:#fafafa}
@@ -104,15 +117,25 @@ body{font-family:system-ui;margin:2em;background:#fafafa}
 .filter button{margin:2px;padding:.3em .9em;border-radius:12px;border:1px solid #bbb;cursor:pointer}
 .filter button.off{opacity:.35}
 </style></head><body>
-<h3>Manhole covers """ + (f"near {location_label}" if location_label else "") + """</h3>
+<h3>Manhole covers """ + (f"near {label}" if label else "") + """</h3>
 <div class="filter" id="filters"></div>
 <svg id="map" width="760" height="560"></svg>
 <script>
 const D = """ + payload + """;
-const active = Object.fromEntries(Object.keys(D.colors).map(c => [c, true]));
+// markers may carry classes beyond the five known colors (POST /getImage
+// stores objects[0]['sort'] verbatim) — they get a filter button and a
+// gray dot instead of being silently dropped
+const esc = s => String(s).replace(/[&<>"']/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+const classes = [...new Set([...Object.keys(D.colors),
+                             ...D.markers.map(m => String(m.cls))])];
+const active = Object.fromEntries(classes.map(c => [c, true]));
 const svg = document.getElementById('map');
 const W = 760, H = 560;
+// the geocoded center joins the extents so the requested location is in
+// view (the reference page centers on it)
 const lats = D.markers.map(m => m.lat), lngs = D.markers.map(m => m.lng);
+if (D.center) { lats.push(D.center[1]); lngs.push(D.center[0]); }
 const la0 = Math.min(...lats), la1 = Math.max(...lats);
 const lo0 = Math.min(...lngs), lo1 = Math.max(...lngs);
 const sx = lng => 30 + (lng - lo0) / ((lo1 - lo0) || 1) * (W - 60);
@@ -128,16 +151,20 @@ function draw() {
   for (const m of D.markers) {
     if (!active[m.cls]) continue;
     out += `<circle cx="${sx(m.lng)}" cy="${sy(m.lat)}" r="6"
-      fill="${D.colors[m.cls]}" stroke="#555" stroke-width="1">
-      <title>${m.cls} @ ${m.lat.toFixed(4)},${m.lng.toFixed(4)}</title></circle>`;
+      fill="${esc(D.colors[m.cls] || '#8a8a8a')}" stroke="#555" stroke-width="1">
+      <title>${esc(m.cls)} @ ${m.lat.toFixed(4)},${m.lng.toFixed(4)}</title></circle>`;
   }
+  if (D.center)
+    out += `<path d="M ${sx(D.center[0]) - 8} ${sy(D.center[1])} h 16
+      M ${sx(D.center[0])} ${sy(D.center[1]) - 8} v 16"
+      stroke="#c33" stroke-width="2"/>`;
   svg.innerHTML = out;
 }
 const fdiv = document.getElementById('filters');
-for (const cls of Object.keys(D.colors)) {
+for (const cls of classes) {
   const b = document.createElement('button');
   b.textContent = cls;
-  b.style.background = D.colors[cls];
+  b.style.background = D.colors[cls] || '#8a8a8a';
   b.onclick = () => { active[cls] = !active[cls];
     b.classList.toggle('off'); draw(); };
   fdiv.appendChild(b);
@@ -148,7 +175,7 @@ draw();
 
 def heatmap_page(points: list[dict]) -> str:
     """points: [{lng, lat, count}] -> canvas radial-gradient heatmap."""
-    payload = json.dumps(points)
+    payload = _js_payload(points)
     return """<!doctype html><html><head><meta charset="utf-8">
 <title>Cover Density Heatmap</title><style>
 body{font-family:system-ui;margin:2em;background:#111;color:#eee}
