@@ -329,3 +329,32 @@ def test_attach_aot_cross_lowers_for_tpu(classify_engine):
     eng = Engine(classify_engine)
     assert all("_tpu.jaxexp" not in os.path.basename(p)
                for p in eng._aot.values())
+
+
+def test_make_runner_accepts_two_stage_engine(detect_engine,
+                                              classify_engine, tmp_path):
+    """The merged one-artifact deployable must be directly servable:
+    make_runner(two_stage_dir) builds a BatchRunner from the baked
+    pipeline config + params, matching the pair-built runner exactly."""
+    from yolov8_vit_tpu.runtime.engine import merge_two_stage_engine
+    from yolov8_vit_tpu.serve.batch_runner import make_runner
+
+    out = str(tmp_path / "ts_serve")
+    merge_two_stage_engine(out, detect_engine, classify_engine,
+                           classify_budget=2)
+    merged = make_runner(out, dtype=jnp.float32)
+    pair = make_runner(detect_engine, classify_engine, classify_budget=2,
+                       dtype=jnp.float32)
+    assert merged.pipeline.classify_budget == 2
+    assert merged.pipeline.det_cfg == pair.pipeline.det_cfg
+
+    import cv2
+    p = str(tmp_path / "f.png")
+    img = np.random.default_rng(7).integers(0, 256, (64, 64, 3),
+                                            dtype=np.uint8)
+    cv2.imwrite(p, img[..., ::-1])
+    got = merged.run_paths([p])
+    want = pair.run_paths([p])
+    assert got[0]["num_dets"] == want[0]["num_dets"]
+    np.testing.assert_allclose(got[0]["boxes"], want[0]["boxes"], atol=1e-4)
+    np.testing.assert_array_equal(got[0]["cls_labels"], want[0]["cls_labels"])

@@ -439,6 +439,12 @@ def build_default_service(workdir: str = ".",
     BatchRunner (resolution-bucketed, the production TPU path)."""
     runner = None
     if detect_engine_path and os.path.isdir(detect_engine_path):
+        with open(os.path.join(detect_engine_path, "meta.json")) as f:
+            kind = json.load(f).get("kind")
+        if kind == "two_stage":
+            # the merged one-artifact deployable (mt-export two-stage)
+            # bakes the whole pipeline — only the fused path can run it
+            fused = True
         if fused:
             from yolov8_vit_tpu.serve.batch_runner import make_runner
             br = make_runner(detect_engine_path, classify_engine_path)

@@ -331,7 +331,12 @@ def make_runner(det_engine_path: str | None = None,
                 det_cfg: DetectConfig = DetectConfig(),
                 classify_budget: int = 4, dtype=jnp.bfloat16,
                 rng_seed: int = 0) -> BatchRunner:
-    """Build a BatchRunner from engine dirs (random params when absent)."""
+    """Build a BatchRunner from engine dirs (random params when absent).
+
+    det_engine_path may also be a merged "two_stage" engine (the one-
+    artifact deployable from `mt-export two-stage`): its baked pipeline
+    config + both param trees are used directly and vit_engine_path is
+    ignored."""
     import dataclasses as _dc
     from yolov8_vit_tpu.models.vit import ViTSpec
     from yolov8_vit_tpu.runtime.engine import Engine
@@ -339,13 +344,33 @@ def make_runner(det_engine_path: str | None = None,
     vit_spec = ViTSpec()
     det_params = vit_params = None
     if det_engine_path:
-        eng = Engine(det_engine_path)
+        # config+params reader only (the runner jits its own graph), so
+        # skip the AOT blob scan and its dtype-mismatch warning
+        eng = Engine(det_engine_path, dtype=dtype, _load_aot=False)
+        if eng.kind == "two_stage":
+            pipe = TwoStagePipeline(
+                det_cfg=eng.det_cfg,
+                vit_spec=_dc.replace(eng.vit_spec, attn_impl="fused"),
+                num_classes=eng.num_classes,
+                classify_budget=eng.meta.get("classify_budget",
+                                             classify_budget),
+                det_overrides=tuple(
+                    sorted(eng.meta.get("det_spec", {}).items())),
+                dtype=dtype)
+            return BatchRunner(pipe, eng.params)
         det_cfg = eng.det_cfg
         det_params = eng.params
+        # custom depth/width scales (engine meta "det_spec") must reach the
+        # pipeline or the loaded params mismatch the traced model
+        det_overrides = tuple(sorted(eng.meta.get("det_spec", {}).items()))
+    else:
+        det_overrides = ()
+    num_classes = 5
     if vit_engine_path:
-        ceng = Engine(vit_engine_path)
+        ceng = Engine(vit_engine_path, _load_aot=False)
         vit_spec = ceng.vit_spec
         vit_params = ceng.params
+        num_classes = ceng.num_classes
     # attn_impl is a runtime choice, not a weight property: serving always
     # takes the fused-attention kernel (argmax-stable vs the module path,
     # tests/test_fused_attention.py).  pad_tokens is NOT auto-set: lane-
@@ -355,7 +380,9 @@ def make_runner(det_engine_path: str | None = None,
     vit_spec = _dc.replace(vit_spec, attn_impl="fused")
 
     pipe = TwoStagePipeline(det_cfg=det_cfg, vit_spec=vit_spec,
-                            classify_budget=classify_budget, dtype=dtype)
+                            num_classes=num_classes,
+                            classify_budget=classify_budget, dtype=dtype,
+                            det_overrides=det_overrides)
     params = jax.jit(pipe.init_params)(jax.random.PRNGKey(rng_seed))
     if det_params is not None:
         params["det"] = det_params
