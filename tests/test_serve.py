@@ -532,3 +532,32 @@ def test_map_and_heatmap_pages_escape_user_content():
     assert "\\u003c/script" in html
     html2 = heatmap_page([{"lng": 1.0, "lat": 2.0, "count": 2}])
     assert "const pts" in html2
+
+
+def test_routes_survive_malformed_bodies(service):
+    """Adversarial/malformed requests degrade to the missing-field JSON
+    errors instead of 500s: non-JSON bodies, top-level arrays/scalars,
+    wrong-typed fields (urls as string/ints, objects entries without
+    keys).  One bad client must never take down a route."""
+    svc, base = service
+
+    def post_raw(path, body: bytes):
+        req = urllib.request.Request(
+            base + path, data=body,
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, r.read()
+
+    for path in ("/", "/getImage", "/getConfig"):
+        for body in (b"not json{", b"[1, 2, 3]", b"5", b'"str"', b"",
+                     b'{"urls": "nope"}', b'{"urls": [1, {}, "x"]}'):
+            status, payload = post_raw(path, body)
+            assert status == 200, (path, body, status)
+            json.loads(payload)    # still a JSON contract response
+    # objects entries missing keys must not 500 the label ingest
+    status, payload = post_raw(
+        "/getImage", json.dumps({
+            "imageUrl": "http://127.0.0.1:1/none.jpg",
+            "objects": [42, {"sort": "good"}, None]}).encode())
+    assert status == 200
+    json.loads(payload)

@@ -110,10 +110,13 @@ class InspectionService:
         # weakness, SURVEY.md §5) — 1,000 URLs would mean 1,000 live threads.
         # download_images carries its own 10 s timeout and returns False on
         # failure, so one bad URL can neither hang nor poison the batch.
+        # entries are {"name": url} dicts (reference payload shape); skip
+        # malformed ones instead of 500ing the whole request
+        todo = [list(u.values())[0] for u in urls
+                if isinstance(u, dict) and u]
         with ThreadPoolExecutor(max_workers=self.DOWNLOAD_POOL_SIZE) as pool:
-            futures = [pool.submit(download_images, list(u.values())[0],
-                                   input_dir)
-                       for u in urls]
+            futures = [pool.submit(download_images, u, input_dir)
+                       for u in todo]
             for f in futures:
                 # per-URL failure isolation: download_images returns False
                 # on failure, but a raising downloader must not abort the
@@ -144,6 +147,13 @@ class InspectionService:
             return {"错误": f"download failed: {url}"}
         cv2.imwrite(os.path.join(train_new, basename), image)
         objects = payload.get("objects") or []
+        # labels come from an external tool: tolerate malformed entries
+        # (non-dict items, missing keys) instead of 500ing the ingest —
+        # the reference KeyErrors here, a weakness not worth preserving
+        objects = [o for o in objects
+                   if isinstance(o, dict)
+                   and {"xmin", "ymin", "xmax", "ymax", "sort"} <= o.keys()
+                   ] if isinstance(objects, list) else []
         for obj in objects:
             draw_image(image, [obj["xmin"], obj["ymin"], obj["xmax"],
                                obj["ymax"]], obj["sort"])
@@ -352,7 +362,10 @@ class InspectionService:
         def read_json():
             try:
                 n = int(environ.get("CONTENT_LENGTH") or 0)
-                return json.loads(environ["wsgi.input"].read(n) or b"{}")
+                out = json.loads(environ["wsgi.input"].read(n) or b"{}")
+                # routes index with .get(): a top-level array/scalar body
+                # must degrade to "missing fields", not crash the handler
+                return out if isinstance(out, dict) else {}
             except (ValueError, KeyError):
                 return {}
 
