@@ -122,3 +122,38 @@ def test_tiny_detector_overfits_single_box():
     iou = float(iou_matrix(jnp.asarray([[8.0, 16, 40, 48]]),
                            boxes[best][None])[0, 0])
     assert iou > 0.5, iou
+
+
+def test_loss_carries_ultralytics_batch_scale():
+    """v8DetectionLoss semantics: ONE batch-wide target-score normalizer,
+    then `* batch_size` — so duplicating an image K times multiplies the
+    total by EXACTLY K (sums and the normalizer both scale by K) while
+    the logged per-component parts (their loss_items) are invariant.
+    A per-image mean (the pre-fix formulation) would keep the total flat,
+    silently shrinking gradients ~batch-fold vs the pinned recipe."""
+    hw = (32, 32)
+    anchors, _ = make_anchors(hw)
+    a = anchors.shape[0]
+    # confident, roughly-right predictions so the batch normalizer is NOT
+    # sitting on its max(sum, 1) clamp (in the clamped regime ultralytics
+    # itself scales quadratically — the linear law below is the unclamped
+    # contract): every anchor predicts a box of ltrb=2 feature units
+    # (DFL logits peaked at bin 2) with class-2 score ~0.98
+    dist = np.full((1, a, 4, 16), -8.0, np.float32)
+    dist[..., 2] = 8.0
+    bd1 = jnp.asarray(dist.reshape(1, a, 64))
+    cl1 = jnp.asarray(np.where(np.arange(3) == 2, 4.0, -4.0)
+                      * np.ones((1, a, 3), np.float32))
+    gt1 = jnp.asarray([[[0.0, 0.0, 32.0, 32.0]]])
+    lb1 = jnp.asarray([[2]])
+    mk1 = jnp.asarray([[True]])
+    total1, parts1 = yolo_detection_loss(bd1, cl1, gt1, lb1, mk1, hw)
+
+    k = 4
+    tile = lambda x: jnp.tile(x, (k,) + (1,) * (x.ndim - 1))
+    totalk, partsk = yolo_detection_loss(tile(bd1), tile(cl1), tile(gt1),
+                                         tile(lb1), tile(mk1), hw)
+    assert float(totalk) == pytest.approx(k * float(total1), rel=1e-5)
+    for key in ("box", "cls", "dfl"):
+        assert float(partsk[key]) == pytest.approx(float(parts1[key]),
+                                                   rel=1e-5), key
