@@ -106,3 +106,26 @@ def test_vit_b8_224_forward_matches_torch():
 
     assert ours.shape == ref.shape == (1, 5)
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_vit_b16_224_forward_matches_torch():
+    """ViT-B/16 @ (1, 224, 224, 3) f32 — the headline bench classifier
+    (197 tokens; BASELINE config #3 names B/16): logits through
+    convert_vit_wrapper must match the timm formulation at full scale."""
+    torch.manual_seed(4)
+    vit_t = NetworkWrapper(
+        TimmViT(img_size=224, patch=16, dim=768, depth=12, heads=12,
+                num_classes=1000),
+        5, backbone_classes=1000).eval()
+    params = convert_vit_wrapper(
+        {k: v.numpy() for k, v in vit_t.state_dict().items()}, depth=12)
+    model = ViTClassifier(ViTSpec(patch=16), 5)
+
+    rng = np.random.default_rng(5)
+    x = (rng.random((1, 224, 224, 3)).astype(np.float32) * 2.0) - 1.0
+    with torch.no_grad():
+        ref = vit_t(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
+    assert ours.shape == ref.shape == (1, 5)
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
