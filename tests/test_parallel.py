@@ -134,3 +134,15 @@ def test_mesh_rejects_bad_factorizations():
     with pytest.raises(ValueError):
         make_mesh(n_data=5, n_model=2)  # 10 > 8
     assert make_mesh(n_data=3, n_model=2).devices.shape == (3, 2)  # subset ok
+
+
+def test_mesh_from_config():
+    from yolov8_vit_tpu.config import MeshConfig
+    from yolov8_vit_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(MeshConfig(model_parallel=2))
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
+    custom = mesh_from_config(MeshConfig(data_axis="dp", model_axis="tp"))
+    assert custom.axis_names == ("dp", "tp")
+    assert custom.devices.shape == (8, 1)

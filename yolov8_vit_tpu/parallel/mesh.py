@@ -18,6 +18,14 @@ import jax
 from jax.sharding import Mesh
 
 
+def mesh_from_config(cfg, devices=None) -> Mesh:
+    """Mesh from a `config.MeshConfig`: TP degree and axis names come from
+    the config (data axis fills the remaining devices)."""
+    devices = list(devices if devices is not None else jax.devices())
+    mesh = make_mesh(n_model=cfg.model_parallel, devices=devices)
+    return Mesh(mesh.devices, (cfg.data_axis, cfg.model_axis))
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1,
               devices=None) -> Mesh:
     """Build an (data, model) mesh.  Defaults to ALL devices on the data
