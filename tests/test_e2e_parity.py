@@ -147,8 +147,12 @@ def _torch_reference_two_stage(img_u8, det_model, vit_model):
     return results
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", list(range(16)))
 def test_full_two_stage_matches_torch_reference(seed):
+    """Seed-fuzzed north-star gate: 16 random weight draws x 4 input
+    shapes (aspect ratios fuzz the letterbox ratio/pad and the
+    un-letterbox coordinate math; shapes repeat every 4 seeds so the
+    fused graph compiles once per shape)."""
     torch.manual_seed(seed)
     det_t = UYOLOv8(DET_SPEC, num_classes=5).eval()
     # give BN non-trivial stats
@@ -167,7 +171,11 @@ def test_full_two_stage_matches_torch_reference(seed):
         depth=VIT["depth"])
 
     rng = np.random.default_rng(seed)
-    img = rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+    # 4 aspect ratios: wide, tall, square, and a non-multiple-of-8 odd
+    # size (stresses letterbox rounding) — cycled so shapes recompile only
+    # once across the 16 seeds
+    h_w = [(48, 80), (80, 48), (64, 64), (50, 94)][seed % 4]
+    img = rng.integers(0, 256, (*h_w, 3), dtype=np.uint8)
 
     ref = _torch_reference_two_stage(img, det_t, vit_t)
 
