@@ -250,7 +250,14 @@ class InspectionService:
 
     def route_train_now(self):
         """POST/GET /trainNow — reference :167-190 semantics incl. the
-        'already running' guard."""
+        'already running' guard.
+
+        Deviation (documented): the reference's actual training launch is
+        commented out (`/root/reference/app.py:186-187` — `trainNowRe()` /
+        `process.start()` are both disabled, so its /trainNow only resets
+        the counter and rewrites config.json).  This route implements the
+        endpoint's documented intent and really launches the retrain in a
+        background thread."""
         with self._train_lock:
             if self.training_epochs_left > 0:
                 return {"state": "模型正在运行"}
