@@ -267,6 +267,11 @@ class BatchRunner:
         # scene overflowed ~711 crops -> 23 dispatches at small-only)
         k_large = k_small * 8
         start = 0
+        # chunks are independent: enqueue every dispatch first (async),
+        # materialize after — the fetches overlap the later dispatches
+        # instead of paying one full host<->device round trip per chunk
+        # (on tunneled transports each fetch is tens of ms)
+        dispatched = []
         while start < len(over):
             k_slots = k_large if len(over) - start > k_small else k_small
             part = over[start:start + k_slots]
@@ -277,9 +282,10 @@ class BatchRunner:
                 slot_img[j] = r
                 slot_boxes[j] = self._host_inflate(
                     recs[r]["boxes"][k:k + 1], w, h)[0]
-            labels, scores = self._cls_fn(self.params, dev_batch,
-                                          jnp.asarray(slot_img),
-                                          jnp.asarray(slot_boxes))
+            dispatched.append((part, self._cls_fn(self.params, dev_batch,
+                                                  jnp.asarray(slot_img),
+                                                  jnp.asarray(slot_boxes))))
+        for part, (labels, scores) in dispatched:
             labels, scores = np.asarray(labels), np.asarray(scores)
             for j, (r, k) in enumerate(part):
                 rec = recs[r]
