@@ -168,6 +168,28 @@ def test_run_stream_matches_run_paths(runner, tmp_path):
                                           b["final_valid"])
 
 
+def test_run_stream_overflow_reclassifies_like_run_paths(tmp_path):
+    """Cross-request pipelining composed with the overflow ladder: a dense
+    budget-2 stream must carry the SAME class labels (not just boxes) as
+    run_paths — the ladder dispatches enqueue async inside _finish, and a
+    pipelining bug would surface here as unlabeled or mismatched slots."""
+    paths = _imgs(tmp_path, [(64, 64)] * 4)
+    r2 = _mk_runner(budget=2)
+    prof = {}
+    ref = r2.run_paths(paths, profile=prof)
+    assert prof.get("overflow_ms", 0.0) > 0.0      # the ladder actually ran
+    streamed = list(r2.run_stream([paths[:2], paths[2:]]))
+    assert len(streamed) == 2
+    for a, b in zip(streamed[0] + streamed[1], ref):
+        v = a["final_valid"]
+        np.testing.assert_array_equal(v, b["final_valid"])
+        assert (a["cls_labels"][v] >= 0).all()
+        np.testing.assert_array_equal(a["cls_labels"][v],
+                                      b["cls_labels"][v])
+        np.testing.assert_allclose(a["cls_scores"][v], b["cls_scores"][v],
+                                   atol=1e-5)
+
+
 def test_budget2_matches_budget8_and_host_path(tmp_path):
     """The production-density operating point (classify budget 2) is
     semantics-preserving, not metric gaming (round-4 VERDICT item 1): on a
