@@ -297,6 +297,47 @@ def test_compiled_executable_zero_compile_load(classify_engine):
         assert eng.last_path == "compiled"
 
 
+def test_compiled_blob_foreign_host_refused(classify_engine, tmp_path):
+    """A .jaxcomp whose build-host sidecar records machine features this
+    host lacks must be REFUSED at scan time (demoted to the portable
+    path) — XLA:CPU's AOT loader only warns ('could lead to execution
+    errors such as SIGILL', cpu_aot_loader.cc) before running such a
+    binary, so executing it to find out is not an option (round-4 VERDICT
+    item 5).  Sidecar-less legacy blobs keep the execute-with-retry
+    demotion exercised by test_compiled_executable_zero_compile_load."""
+    import glob
+    import os
+    import warnings as _w
+    from yolov8_vit_tpu.runtime.engine import attach_compiled
+
+    eng_dir = str(tmp_path / "cls_foreign")
+    shutil.copytree(classify_engine, eng_dir)
+    attach_compiled(eng_dir, [(2, 32, 32, 3)])
+    sides = glob.glob(os.path.join(eng_dir, "aot", "*.jaxcomp.host.json"))
+    assert sides, "attach_compiled must write host sidecars"
+    for side in sides:   # forge: build host had one ISA flag we lack
+        fp = json.load(open(side))
+        fp["cpu_flags"] = sorted(fp.get("cpu_flags", [])
+                                 + ["sigill_maker_v9000"])
+        json.dump(fp, open(side, "w"))
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        eng = Engine(eng_dir)
+    assert (2, 32, 32, 3) not in eng._compiled
+    assert any("SIGILL" in str(w.message) for w in rec)
+    x = np.random.default_rng(7).random((2, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(eng(x))
+    assert eng.last_path in ("aot", "jit") and out.shape == (2, 5)
+
+    # an unforged sidecar (same host) must still register + execute
+    eng_ok_dir = str(tmp_path / "cls_native")
+    shutil.copytree(classify_engine, eng_ok_dir)
+    attach_compiled(eng_ok_dir, [(2, 32, 32, 3)])
+    eng_ok = Engine(eng_ok_dir)
+    assert (2, 32, 32, 3) in eng_ok._compiled
+
+
 def test_export_cli_attaches_compiled(tmp_path):
     from yolov8_vit_tpu.runtime import export as ex
     import os

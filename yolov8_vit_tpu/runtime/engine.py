@@ -156,13 +156,22 @@ def attach_compiled(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
     artifacts: the blob wraps a pickle (payload + arg/result pytree defs),
     so only load engine dirs you built.  Measured on the production
     ViT-B/16 w8a classify graph (v5e): 47 MB, 0.15 s deserialize vs 18.5 s
-    compile, bit-identical outputs."""
+    compile, bit-identical outputs.
+
+    Each blob gets a `<blob>.host.json` sidecar recording the build host's
+    fingerprint (utils/hostinfo.py); Engine refuses blobs whose recorded
+    machine features the running host lacks — XLA:CPU's AOT loader would
+    otherwise only WARN before risking a SIGILL (round-4 VERDICT item 5)."""
     import pickle
     from jax.experimental import serialize_executable as se
+
+    from yolov8_vit_tpu.utils.hostinfo import host_fingerprint
     eng = Engine(path, dtype=dtype, _load_aot=False)
     platform = jax.default_backend()
     adir = os.path.join(path, "aot")
     os.makedirs(adir, exist_ok=True)
+    fingerprint = host_fingerprint(
+        platform, device_kind=getattr(jax.devices()[0], "device_kind", None))
     params_dev = jax.tree.map(jnp.asarray, eng.params)
     in_dtype = eng._input_dtype
     written = []
@@ -179,6 +188,8 @@ def attach_compiled(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
                                            platform, ext=".jaxcomp"))
         with open(out, "wb") as f:
             pickle.dump((payload, in_tree, out_tree), f)
+        with open(out + ".host.json", "w") as f:
+            json.dump(fingerprint, f)
         written.append(out)
     return written
 
@@ -317,16 +328,33 @@ class Engine:
             in_name = jnp.dtype(self._input_dtype).name
             act_name = jnp.dtype(self.dtype).name
             mismatched = []
+            foreign = []
+            host_fp = None
             for name in os.listdir(adir):
+                if name.endswith(".host.json"):
+                    continue
                 ext = ".jaxcomp" if name.endswith(".jaxcomp") else ".jaxexp"
                 parsed = _parse_aot_name(name, ext=ext)
                 if not parsed or parsed[3] != backend:
                     continue
                 if parsed[1] == in_name and parsed[2] == act_name:
+                    blob = os.path.join(adir, name)
+                    if ext == ".jaxcomp" and \
+                            not self._blob_host_ok(blob, backend):
+                        foreign.append(name)     # refuse-and-demote below
+                        continue
                     reg = self._compiled if ext == ".jaxcomp" else self._aot
-                    reg[parsed[0]] = os.path.join(adir, name)
+                    reg[parsed[0]] = blob
                 else:
                     mismatched.append(name)
+            if foreign:
+                import warnings
+                warnings.warn(
+                    f"engine {path!r}: {len(foreign)} compiled blob(s) were "
+                    f"built on a host with machine features this host lacks "
+                    f"(e.g. {foreign[0]!r}); executing them risks a SIGILL, "
+                    f"so they are demoted to the portable .jaxexp/jit path. "
+                    f"Re-run attach_compiled on this machine.", stacklevel=2)
             if mismatched and not self._aot and not self._compiled:
                 import warnings
                 warnings.warn(
@@ -368,6 +396,26 @@ class Engine:
             self.last_path = "jit"
         picked = tuple(outs[n] for n in self._desired)
         return picked if len(picked) > 1 else picked[0]
+
+    def _blob_host_ok(self, blob: str, backend: str) -> bool:
+        """True when `blob`'s build-host sidecar (attach_compiled) is
+        compatible with this host (utils/hostinfo.py).  Sidecar-less
+        legacy blobs pass — they keep the pre-round-5 execute-with-retry
+        demotion of _call_compiled."""
+        side = blob + ".host.json"
+        if not os.path.exists(side):
+            return True
+        from yolov8_vit_tpu.utils.hostinfo import compatible, \
+            host_fingerprint
+        try:
+            with open(side) as f:
+                blob_fp = json.load(f)
+        except (OSError, ValueError):
+            return True
+        dev = (self._device if self._device is not None
+               else jax.devices()[0])
+        return compatible(blob_fp, host_fingerprint(
+            backend, device_kind=getattr(dev, "device_kind", None)))
 
     def _call_compiled(self, key, x):
         """Execute the zero-compile .jaxcomp binary for `key`, or return

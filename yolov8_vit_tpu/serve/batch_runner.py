@@ -16,7 +16,7 @@ replacement for camera/stream workloads:
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Sequence
 
 import numpy as np
@@ -267,11 +267,29 @@ class BatchRunner:
         # scene overflowed ~711 crops -> 23 dispatches at small-only)
         k_large = k_small * 8
         start = 0
-        # chunks are independent: enqueue every dispatch first (async),
-        # materialize after — the fetches overlap the later dispatches
-        # instead of paying one full host<->device round trip per chunk
-        # (on tunneled transports each fetch is tens of ms)
-        dispatched = []
+        # chunks are independent: keep a window of dispatches in flight
+        # (async), materializing the oldest as new ones enqueue — the
+        # fetches overlap the later dispatches instead of paying one full
+        # host<->device round trip per chunk (on tunneled transports each
+        # fetch is tens of ms; overflow_ms 1,210 -> 725 on the dense bench
+        # scene, docs/performance.md).  The window caps in-flight uploads
+        # so a pathologically dense scene (thousands of overflow crops)
+        # can't queue unbounded host->device transfers at once; at <=8
+        # chunks in flight the dense-scene overlap is already complete
+        # (23 small-chunk dispatches was the worst observed).
+        window: deque = deque()
+        max_in_flight = 8
+
+        def _apply(part, fetched):
+            labels, scores = map(np.asarray, fetched)
+            for j, (r, k) in enumerate(part):
+                rec = recs[r]
+                for field in ("cls_labels", "cls_scores"):
+                    if not rec[field].flags.writeable:
+                        rec[field] = rec[field].copy()
+                rec["cls_labels"][k] = labels[j]
+                rec["cls_scores"][k] = scores[j]
+
         while start < len(over):
             k_slots = k_large if len(over) - start > k_small else k_small
             part = over[start:start + k_slots]
@@ -282,18 +300,13 @@ class BatchRunner:
                 slot_img[j] = r
                 slot_boxes[j] = self._host_inflate(
                     recs[r]["boxes"][k:k + 1], w, h)[0]
-            dispatched.append((part, self._cls_fn(self.params, dev_batch,
-                                                  jnp.asarray(slot_img),
-                                                  jnp.asarray(slot_boxes))))
-        for part, (labels, scores) in dispatched:
-            labels, scores = np.asarray(labels), np.asarray(scores)
-            for j, (r, k) in enumerate(part):
-                rec = recs[r]
-                for field in ("cls_labels", "cls_scores"):
-                    if not rec[field].flags.writeable:
-                        rec[field] = rec[field].copy()
-                rec["cls_labels"][k] = labels[j]
-                rec["cls_scores"][k] = scores[j]
+            window.append((part, self._cls_fn(self.params, dev_batch,
+                                              jnp.asarray(slot_img),
+                                              jnp.asarray(slot_boxes))))
+            if len(window) >= max_in_flight:
+                _apply(*window.popleft())
+        while window:
+            _apply(*window.popleft())
 
     # ------------------------------------------------------------------
     def flatten(self, paths: Sequence[str],
