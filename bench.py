@@ -180,11 +180,72 @@ def main() -> None:
             params = _densify_head(params)
 
         if args.mode == "two_stage":
-            images = jnp.asarray(rng.integers(
-                0, 256, (batch, *img_hw, 3), dtype=np.uint8))
-            fn = pipe.jit()
-            dt = _timed(fn, (params, images), iters, barrier)
-            v = batch * iters / dt / n_chips
+            if args.dense:
+                # dense extreme: densified head, random frames, fused loop
+                images = jnp.asarray(rng.integers(
+                    0, 256, (batch, *img_hw, 3), dtype=np.uint8))
+                fn = pipe.jit()
+                dt = _timed(fn, (params, images), iters, barrier)
+                v = batch * iters / dt / n_chips
+            else:
+                # PRODUCTION-DENSITY headline (round-5): content-FITTED
+                # head (utils/densify.fit_detect_head — detections track
+                # planted covers through the real graph) on calibrated
+                # ~1.5-covers/frame scenes, timed through
+                # BatchRunner.run_device_batches so result fetch AND the
+                # overflow-reclassify ladder are INSIDE the timed region
+                # (async result copies stream behind compute; the ladder
+                # pipelines cross-batch).  The reference classifies every
+                # kept box (/root/reference/YOLOTensorRT_yolodet_py_解读
+                # .md:94-117); this measures that semantics at the honest
+                # density instead of a zero-detection scene.
+                from yolov8_vit_tpu.serve.batch_runner import BatchRunner
+                from yolov8_vit_tpu.utils.densify import (
+                    fit_detect_head, make_cover_scenes)
+                n_fit, n_pool = (4, 2) if args.smoke else (16, 16)
+                fit_imgs, fit_covers = make_cover_scenes(
+                    rng, n_fit, img_hw, lam=1.5)
+                params = fit_detect_head(params, pipe, fit_imgs, fit_covers)
+                pools, true_covers = [], 0
+                for _ in range(n_pool):
+                    imgs_np, covers = make_cover_scenes(
+                        rng, batch, img_hw, lam=1.2)
+                    true_covers += sum(len(c) for c in covers)
+                    pools.append(jnp.asarray(imgs_np))
+                runner = BatchRunner(pipe, params, max_batch=batch)
+                # warm: fused fn via a full pass, ladder fn explicitly
+                # (at honest density most batches don't overflow, and a
+                # first-overflow compile must not land mid-timing)
+                k_small = batch * args.budget
+                barrier(runner._cls_fn(
+                    runner.params, pools[0],
+                    jnp.zeros((k_small,), jnp.int32),
+                    jnp.tile(jnp.asarray([[0, 0, 16, 16]], jnp.int32),
+                             (k_small, 1))))
+                recs0 = runner.run_device_batches(pools)
+                flat0 = [r for recs in recs0 for r in recs]
+                mean_valid = float(np.mean(
+                    [r["final_valid"].sum() for r in flat0]))
+                over0 = sum(int((r["final_valid"]
+                                 & (r["cls_labels"] < 0)).sum())
+                            for r in flat0)
+
+                prof: dict = {}
+                seq = [pools[i % n_pool] for i in range(iters)]
+                t0 = time.perf_counter()
+                runner.run_device_batches(seq, profile=prof)
+                dt = time.perf_counter() - t0
+                v = batch * iters / dt / n_chips
+
+                # the round-2..4 fused-graph device line, same scenes
+                # (enqueued loop + one completion barrier)
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    out = runner._fn(runner.params, pools[i % n_pool])
+                barrier(out)
+                dt_fused = time.perf_counter() - t0
+                fn = lambda p, im: runner._fn(p, im)  # latency probe below
+                images = pools[0]
 
             # per-step latency distribution: one barrier per step.  On the
             # tunneled runtime every blocking fetch pays the relay
@@ -217,6 +278,23 @@ def main() -> None:
                     "overflowed":
                         int(((out["final_valid"])
                              & (out["cls_labels"] < 0)).sum())}
+            else:
+                extra_density = {
+                    "scene": "content-fitted detect head, calibrated "
+                             "production density (lam 1.2 planted covers)",
+                    "timed_path": "BatchRunner.run_device_batches: result "
+                                  "fetch + overflow-reclassify ladder "
+                                  "inside the timed region",
+                    "mean_valid_per_img": round(mean_valid, 2),
+                    "true_covers_per_img":
+                        round(true_covers / (n_pool * batch), 2),
+                    "overflow_dets_per_pool_pass": over0,
+                    "overflow_ms_total": round(prof.get("overflow_ms",
+                                                        0.0), 1),
+                    "fetch_ms_total": round(prof.get("fetch_ms", 0.0), 1),
+                    "fused_loop_img_s":
+                        round(batch * iters / dt_fused / n_chips, 1),
+                    "fused_loop_step_ms": round(dt_fused / iters * 1e3, 2)}
 
             extra_conservative = {}
             if args.budget == 2 and not args.smoke and not args.dense:

@@ -106,6 +106,32 @@ def test_overflow_reclassifies_exactly(tmp_path):
                                    rb["cls_scores"][valid], atol=1e-5)
 
 
+def test_run_device_batches_matches_run_paths(tmp_path):
+    """The bulk device-resident path (bench headline) must produce exactly
+    what the host path produces for the same pixels — including the
+    overflow ladder, which this dense scene exercises hard (budget 1)."""
+    import jax.numpy as jnp
+    paths = _imgs(tmp_path, [(64, 64)] * 4)
+    runner = _mk_runner(budget=1)
+    res_host = runner.run_paths(paths)
+    batch = jnp.asarray(np.stack([runner._decode(p) for p in paths]))
+    prof = {}
+    res_dev = runner.run_device_batches([batch, batch], profile=prof)
+    assert len(res_dev) == 2
+    assert prof.get("overflow_ms", 0.0) > 0.0   # ladder ran, in profile
+    for recs in res_dev:
+        for rh, rd in zip(res_host, recs):
+            np.testing.assert_array_equal(rh["final_valid"],
+                                          rd["final_valid"])
+            valid = rh["final_valid"]
+            assert (rd["cls_labels"][valid] >= 0).all()
+            np.testing.assert_array_equal(rh["cls_labels"][valid],
+                                          rd["cls_labels"][valid])
+            np.testing.assert_allclose(rh["cls_scores"][valid],
+                                       rd["cls_scores"][valid], atol=1e-5)
+            np.testing.assert_allclose(rh["boxes"], rd["boxes"], atol=1e-3)
+
+
 def test_sharded_runner_matches_single_device(tmp_path):
     """BatchRunner(mesh=...) shards request batches over the data axis; the
     results must match the unsharded runner through the real run_paths API."""

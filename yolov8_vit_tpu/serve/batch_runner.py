@@ -225,6 +225,56 @@ class BatchRunner:
         if prev is not None:
             yield self._finish(prev, profile)
 
+    def run_device_batches(self, dev_batches, profile: dict | None = None
+                           ) -> list[list[dict]]:
+        """Throughput-oriented bulk path for DEVICE-RESIDENT frame batches
+        (camera DMA rings, a previous pipeline stage, replayed buffers):
+        no decode, no upload.  All fused steps enqueue first with ASYNC
+        result copies (device->host transfers stream behind compute
+        instead of paying a blocking round trip per batch — on the
+        tunneled rig that round trip is ~30 ms against a ~24 ms step);
+        the drain then runs the overflow ladder CROSS-BATCH pipelined:
+        every ladder dispatch for batch i overlaps batch i+1's
+        materialization and the other batches' ladder round trips,
+        bounded by the same in-flight window as `_reclassify_overflow`.
+
+        Latency-oriented streaming stays `run_stream` (per-request
+        yields); this is the bench/bulk analogue.  Returns one rec list
+        per input batch, ladder-patched (classify-every-kept-box
+        semantics at any density)."""
+        pending = []
+        for dv in dev_batches:
+            res = self._fn(self.params, dv)
+            try:
+                res.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass   # platform without async host copies: asarray below
+            pending.append((dv, res))
+        import time
+        out = []
+        window: deque = deque()
+        t_fetch = t_ladder = 0.0
+        for dv, res in pending:
+            t0 = time.perf_counter()
+            recs = self._unpack(np.asarray(res))
+            t1 = time.perf_counter()
+            for part_dev in self._ladder_dispatch(recs, dv):
+                window.append(part_dev)
+                if len(window) >= 8:
+                    self._ladder_patch(*window.popleft())
+            t_fetch += t1 - t0
+            t_ladder += time.perf_counter() - t1
+            out.append(recs)
+        t2 = time.perf_counter()
+        while window:
+            self._ladder_patch(*window.popleft())
+        t_ladder += time.perf_counter() - t2
+        if profile is not None:
+            profile["fetch_ms"] = profile.get("fetch_ms", 0.0) + t_fetch * 1e3
+            profile["overflow_ms"] = profile.get("overflow_ms", 0.0) + \
+                t_ladder * 1e3
+        return out
+
     # ------------------------------------------------------------------
     @staticmethod
     def _host_inflate(boxes: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -265,8 +315,6 @@ class BatchRunner:
         # couple-of-crops overflow cheap; large (8x) bounds the device
         # round-trips on pathological dense scenes (a 93-box/frame bench
         # scene overflowed ~711 crops -> 23 dispatches at small-only)
-        k_large = k_small * 8
-        start = 0
         # chunks are independent: keep a window of dispatches in flight
         # (async), materializing the oldest as new ones enqueue — the
         # fetches overlap the later dispatches instead of paying one full
@@ -279,17 +327,29 @@ class BatchRunner:
         # (23 small-chunk dispatches was the worst observed).
         window: deque = deque()
         max_in_flight = 8
+        for part_dev in self._ladder_dispatch(recs, dev_batch, over):
+            window.append(part_dev)
+            if len(window) >= max_in_flight:
+                self._ladder_patch(*window.popleft())
+        while window:
+            self._ladder_patch(*window.popleft())
 
-        def _apply(part, fetched):
-            labels, scores = map(np.asarray, fetched)
-            for j, (r, k) in enumerate(part):
-                rec = recs[r]
-                for field in ("cls_labels", "cls_scores"):
-                    if not rec[field].flags.writeable:
-                        rec[field] = rec[field].copy()
-                rec["cls_labels"][k] = labels[j]
-                rec["cls_scores"][k] = scores[j]
-
+    def _ladder_dispatch(self, recs: list, dev_batch, over=None):
+        """Yield (part, device result) ladder dispatches for the overflow
+        detections in `recs` — `part` holds (rec, det index) pairs for
+        `_ladder_patch`.  Dispatch is async; two chunk sizes (each
+        compiles once): small keeps the common couple-of-crops overflow
+        cheap; large (8x) bounds device round-trips on pathological dense
+        scenes (a 93-box/frame bench scene overflowed ~711 crops -> 23
+        dispatches at small-only)."""
+        if over is None:
+            over = [(r, int(k)) for r, rec in enumerate(recs)
+                    for k in np.nonzero(rec["final_valid"]
+                                        & (rec["cls_labels"] < 0))[0]]
+        h, w = int(dev_batch.shape[1]), int(dev_batch.shape[2])
+        k_small = self.max_batch * self.pipeline.classify_budget
+        k_large = k_small * 8
+        start = 0
         while start < len(over):
             k_slots = k_large if len(over) - start > k_small else k_small
             part = over[start:start + k_slots]
@@ -300,13 +360,20 @@ class BatchRunner:
                 slot_img[j] = r
                 slot_boxes[j] = self._host_inflate(
                     recs[r]["boxes"][k:k + 1], w, h)[0]
-            window.append((part, self._cls_fn(self.params, dev_batch,
-                                              jnp.asarray(slot_img),
-                                              jnp.asarray(slot_boxes))))
-            if len(window) >= max_in_flight:
-                _apply(*window.popleft())
-        while window:
-            _apply(*window.popleft())
+            yield ([(recs[r], k) for r, k in part],
+                   self._cls_fn(self.params, dev_batch,
+                                jnp.asarray(slot_img),
+                                jnp.asarray(slot_boxes)))
+
+    @staticmethod
+    def _ladder_patch(part, fetched) -> None:
+        labels, scores = map(np.asarray, fetched)
+        for j, (rec, k) in enumerate(part):
+            for field in ("cls_labels", "cls_scores"):
+                if not rec[field].flags.writeable:
+                    rec[field] = rec[field].copy()
+            rec["cls_labels"][k] = labels[j]
+            rec["cls_scores"][k] = scores[j]
 
     # ------------------------------------------------------------------
     def flatten(self, paths: Sequence[str],

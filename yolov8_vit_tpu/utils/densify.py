@@ -1,13 +1,34 @@
-"""Detect-head densification for synthetic dense-scene runs.
+"""Detect-head shaping for synthetic benchmark scenes.
 
-A random-init DFL head emits huge near-identical boxes everywhere (the
-softmax expectation lands ~center bin x stride, clamped to the frame), so
-the area NMS collapses every image to one box and nothing downstream of
-the detector gets exercised.  Biasing the distribution bins low (small
-anchor-centered boxes, disjoint across the grid) and sharpening the convs
-(score/size diversity) turns a random detector into a genuinely dense
-scene generator — used by the dense bench modes, the multichip dryrun's
-serving leg, and the overflow-reclassify tests.
+Two tools, two densities:
+
+* `densify_detect_head` — the DENSE extreme: a random-init DFL head emits
+  huge near-identical boxes everywhere (the softmax expectation lands
+  ~center bin x stride, clamped to the frame), so the area NMS collapses
+  every image to one box and nothing downstream of the detector gets
+  exercised.  Biasing the distribution bins low (small anchor-centered
+  boxes, disjoint across the grid) and sharpening the convs (score/size
+  diversity) turns a random detector into a dense scene generator — used
+  by the dense bench modes, the multichip dryrun's serving leg, and the
+  overflow-reclassify tests.
+
+* `fit_detect_head` — the PRODUCTION density (~1-2 covers/frame, the
+  reference's field-camera scenes; it classifies every kept box,
+  `/root/reference/YOLOTensorRT_yolodet_py_解读.md:94-117`): makes the
+  head genuinely CONTENT-RESPONSIVE.  A uniform class-logit bias cannot
+  get there — a random-init backbone's deep features are spatially
+  near-constant (measured std ~3e-5 at P3), so the whole anchor grid
+  crosses any confidence threshold within a ~1e-4 bias window: counts
+  cliff from 0 straight to topk-saturated.  But that tiny spatial
+  variation is INFORMATIVE: ridge-fitting just the final 1x1 cls conv
+  (a linear problem — backbone stays frozen random) on features captured
+  at the P3 head separates planted covers from background at >6 sigma
+  and generalizes to held-out frames of the same scene distribution.
+  Box geometry is pinned via the DFL bias (one-hot bin -> ~2*bin*stride
+  px squares) so stage-1 NMS (IoU .65) + the stage-2 area NMS (IoU .45)
+  collapse each cover's anchor cluster to ~1 box.  Result: detections
+  that track scene content (0 covers -> 0 boxes), through the real graph,
+  with only WEIGHTS changed.
 """
 from __future__ import annotations
 
@@ -27,5 +48,150 @@ def densify_detect_head(params, reg_max: int = 16):
         head[f"box{i}_2"]["kernel"] = head[f"box{i}_2"]["kernel"] * 3.0
         head[f"box{i}_2"]["bias"] = low.astype(head[f"box{i}_2"]["bias"].dtype)
         head[f"cls{i}_2"]["kernel"] = head[f"cls{i}_2"]["kernel"] * 40.0
+    params["det"] = jax.tree.map(jnp.asarray, det)
+    return params
+
+
+def make_cover_scenes(rng: np.random.Generator, n: int,
+                      hw: tuple[int, int] = (640, 640), lam: float = 1.5,
+                      max_covers: int = 5):
+    """Synthetic field-camera frames: Gaussian sensor noise plus
+    Poisson(`lam`) bright disk "covers" per frame (the production scene
+    statistic is 1-2 covers/frame).  Disk radii scale with the frame
+    (5.5-11% of the short side — 35-70 px at 640).  Returns
+    (images uint8 (n, H, W, 3), covers: per-image list of (cx, cy, r) in
+    image pixel coords)."""
+    import cv2
+    h, w = hw
+    m = min(h, w)
+    r_lo = max(4, int(0.055 * m))
+    r_hi = max(r_lo + 1, int(0.11 * m))
+    imgs, covers = [], []
+    for _ in range(n):
+        img = rng.normal(90.0, 18.0, (h, w, 3)).clip(0, 255).astype(np.uint8)
+        k = min(int(rng.poisson(lam)), max_covers)
+        cs = []
+        for _ in range(k):
+            r = int(rng.integers(r_lo, r_hi))
+            cx = int(rng.integers(r + 4, w - r - 4))
+            cy = int(rng.integers(r + 4, h - r - 4))
+            cv2.circle(img, (cx, cy), r,
+                       tuple(int(v) for v in rng.integers(150, 255, 3)), -1)
+            cs.append((cx, cy, r))
+        imgs.append(img)
+        covers.append(cs)
+    return np.stack(imgs), covers
+
+
+def fit_detect_head(params, pipeline, images, covers, frac: float = 0.35,
+                    box_bin: int = 12, ridge: float = 1e-3,
+                    min_separation: float = 3.0):
+    """Make the two-stage tree's detect head CONTENT-RESPONSIVE at
+    production density by ridge-fitting its final P3 1x1 cls conv on the
+    frozen random backbone's features (see module docstring for why a
+    bias sweep cannot do this).  Only weights change; the timed graph is
+    untouched.
+
+    `images`/`covers` come from `make_cover_scenes` (fit scenes — use
+    FRESH scenes for the timed/eval set; the fit generalizes across draws
+    of the same generator).  `frac` shrinks the positive-anchor mask to
+    the cover's core so the NMS stages keep ~1 box per cover; `box_bin`
+    pins the DFL distribution (box side ~= 2*box_bin*stride px).
+
+    Mutates (and returns) `params` like `densify_detect_head`.  Raises if
+    the scenes contain no covers; warns if the fit separates planted
+    covers from background at < `min_separation` sigma."""
+    from yolov8_vit_tpu.ops import blob
+    from yolov8_vit_tpu.ops.letterbox import letterbox_fast, letterbox_s2d
+
+    cfg = pipeline.det_cfg
+    stride = cfg.strides[0]
+    imgs = jnp.asarray(images)
+    if pipeline.stem_mode != "flat":
+        lb, ratio, dwdh = letterbox_s2d(imgs, cfg.input_size,
+                                        pad_value=cfg.pad_value,
+                                        dtype=pipeline.dtype)
+    else:
+        lb, ratio, dwdh = letterbox_fast(imgs, cfg.input_size,
+                                         pad_value=cfg.pad_value,
+                                         dtype=pipeline.dtype)
+    det_in = blob(lb).astype(pipeline.dtype)
+
+    def run(di):
+        _, state = pipeline.detector.apply(
+            params["det"], di,
+            capture_intermediates=lambda mdl, _m: mdl.name == "cls0_1")
+        return state
+
+    gh, gw = cfg.input_size[0] // stride, cfg.input_size[1] // stride
+    feats = [leaf for leaf in jax.tree.leaves(jax.jit(run)(det_in))
+             if getattr(leaf, "ndim", 0) == 4 and leaf.shape[1] == gh]
+    assert len(feats) == 1, f"expected one P3 cls feature map, got {feats}"
+    fmap = np.asarray(feats[0], np.float32)            # (N, gh, gw, c3)
+    c3 = fmap.shape[-1]
+
+    # positive mask: anchor centers (letterboxed coords) inside frac*r of
+    # a planted cover (covers are in image coords -> letterbox transform)
+    rt = float(np.asarray(ratio).reshape(-1)[0])
+    dw, dh = (float(v) for v in np.asarray(dwdh).reshape(-1)[:2])
+    ys, xs = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    ax, ay = (xs + 0.5) * stride, (ys + 0.5) * stride
+    mask = np.zeros((len(covers), gh, gw), bool)
+    any_covers = False
+    for i, cs in enumerate(covers):
+        for (cx, cy, r) in cs:
+            any_covers = True
+            d2 = ((ax - (cx * rt + dw)) ** 2
+                  + (ay - (cy * rt + dh)) ** 2)
+            mask[i] |= d2 < (frac * r * rt) ** 2
+            # tiny frames (smoke dims): frac*r can undershoot the anchor
+            # pitch — always claim the nearest anchor so no cover is
+            # target-less
+            mask[i].flat[int(d2.argmin())] = True
+    if not any_covers:
+        raise ValueError("fit_detect_head: fit scenes contain no covers")
+
+    # ridge regression with a bias column, targets +-1
+    x = fmap.reshape(-1, c3).astype(np.float64)
+    xb = np.concatenate([x, np.ones((x.shape[0], 1))], 1)
+    gram = xb.T @ xb
+    lam = ridge * np.trace(gram) / xb.shape[1]
+    y = np.where(mask.reshape(-1), 1.0, -1.0)
+    wb = np.linalg.solve(gram + lam * np.eye(xb.shape[1]), xb.T @ y)
+    pred = xb @ wb
+    mp, mn = pred[y > 0].mean(), pred[y < 0].mean()
+    sep = (mp - mn) / max(pred[y < 0].std(), 1e-12)
+    if sep < min_separation:
+        import warnings
+        warnings.warn(
+            f"fit_detect_head: cover/background separation is only "
+            f"{sep:.1f} sigma (<{min_separation}); detection counts may "
+            f"not track scene content", stacklevel=2)
+    # affine rescale: background mean -> logit -8, cover mean -> +4
+    # (sigmoid .9820, clear of both conf thresholds .25/.35)
+    alpha = 12.0 / (mp - mn)
+    w_fit = (alpha * wb[:-1]).astype(np.float32)
+    b_fit = np.float32(alpha * wb[-1] - 8.0 - alpha * mn)
+
+    det = jax.tree.map(np.asarray, params["det"])
+    head = det["params"]["detect"]
+    kern = np.zeros_like(head["cls0_2"]["kernel"])     # (1, 1, c3, nc)
+    kern[0, 0, :, 0] = w_fit
+    head["cls0_2"]["kernel"] = kern
+    bias = np.full_like(head["cls0_2"]["bias"], -20.0)
+    bias[0] = b_fit
+    head["cls0_2"]["bias"] = bias
+    for i in (1, 2):   # P4/P5 silent: each cover resolves at P3 only
+        head[f"cls{i}_2"]["kernel"] = \
+            np.zeros_like(head[f"cls{i}_2"]["kernel"])
+        head[f"cls{i}_2"]["bias"] = \
+            np.full_like(head[f"cls{i}_2"]["bias"], -20.0)
+    # one-hot DFL bias: ltrb ~= box_bin*stride -> ~2*box_bin*stride boxes,
+    # big enough that a cover's anchor cluster collapses under NMS
+    onehot = np.zeros((cfg.reg_max,), np.float32)
+    onehot[min(box_bin, cfg.reg_max - 1)] = 8.0
+    head["box0_2"]["kernel"] = np.zeros_like(head["box0_2"]["kernel"])
+    head["box0_2"]["bias"] = np.tile(onehot, 4).astype(
+        head["box0_2"]["bias"].dtype)
     params["det"] = jax.tree.map(jnp.asarray, det)
     return params
