@@ -340,13 +340,31 @@ def main() -> None:
         tmp = tempfile.mkdtemp(prefix="bench_serve_")
         n_files = batch * max(iters // 5, 1)
         paths = []
+        # realistic camera-frame entropy (round-4 VERDICT weak #4): flat
+        # single-circle frames compressed to ~8 KB and understated both
+        # decode_ms and bytes/frame.  Per-frame Gaussian sensor noise +
+        # low-frequency texture + 1-2 covers lands JPEG sizes in the real
+        # camera range; the JSON reports the measured bytes/frame so the
+        # wire-rate arithmetic stays checkable.
+        h_, w_ = img_hw
+        yy, xx = np.mgrid[0:h_, 0:w_].astype(np.float32)
         for i in range(n_files):
-            img = np.full((*img_hw, 3), 70, np.uint8)
-            cv2.circle(img, (img_hw[1] // 2 + (i % 8) * 10, img_hw[0] // 2),
-                       60, (200, 180, 160), -1)
+            base = (90 + 25 * np.sin(xx / (17 + i % 7))
+                    * np.cos(yy / (23 + i % 5)))
+            img = (base[..., None]
+                   + rng.normal(0, 14, (*img_hw, 3))).clip(0, 255) \
+                .astype(np.uint8)
+            for _ in range(1 + i % 2):
+                cv2.circle(img, (int(rng.integers(80, w_ - 80)),
+                                 int(rng.integers(80, h_ - 80))),
+                           int(rng.integers(35, 70)),
+                           tuple(int(v) for v in rng.integers(140, 255, 3)),
+                           -1)
             p = os.path.join(tmp, f"f{i}.jpg")
             cv2.imwrite(p, img)
             paths.append(p)
+        bytes_per_frame = int(np.mean([os.path.getsize(p)
+                                       for p in paths[:64]]))
         runner = BatchRunner(pipe, params, max_batch=batch)
         runner.run_paths(paths[:batch])  # warm compile
 
@@ -384,7 +402,7 @@ def main() -> None:
         _emit("serve_stream_images_per_sec_per_chip", v, "images/s/chip",
               v / 1500.0, batch=batch, loops=loops, vit=vit_tag,
               device=device, smoke=args.smoke, profile_ms=prof,
-              pipelined=True,
+              pipelined=True, jpeg_bytes_per_frame=bytes_per_frame,
               device_step_ms=round(device_step_ms, 2),
               direct_attach_est_img_s=round(direct_attach_est, 1),
               note="end-to-end incl. host JPEG decode + device upload, "

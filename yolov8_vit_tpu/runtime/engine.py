@@ -363,6 +363,16 @@ class Engine:
                     f"(e.g. {mismatched[0]!r}); all shapes will re-trace. "
                     f"Re-attach with attach_aot(..., dtype={act_name}) or "
                     f"mt-export --aot-dtype.", stacklevel=2)
+        if self._compiled and self._device is None:
+            # zero-compile blobs registered: start the async param upload
+            # NOW so the weights stream over the link while the caller
+            # reaches its first __call__ (which deserializes the binary) —
+            # cold-start wire time runs in parallel instead of in series
+            try:
+                self._params_dev = jax.device_put(self.params,
+                                                  jax.devices()[0])
+            except RuntimeError:
+                pass   # no device yet (e.g. backend init deferred)
 
     # ---- TRTModule API ----------------------------------------------------
     def set_desired(self, names: list[str]) -> None:
@@ -431,6 +441,19 @@ class Engine:
         again immediately on the retry)."""
         try:
             dev = self._device if self._device is not None else jax.devices()[0]
+            if self._params_dev is None:
+                # a compiled binary takes committed device arrays; reuse
+                # self.params when __init__ already committed them to the
+                # engine's device (avoids a second 90+ MB copy).  Start
+                # the upload BEFORE the executable deserialize below:
+                # device_put is async, so the ~90 MB of weights stream
+                # over the link while the host unpickles and PJRT loads
+                # the binary — on the tunneled rig that overlap is the
+                # difference between wire-serial and wire-parallel cold
+                # start (round-5 VERDICT item 4; measured in
+                # docs/performance.md "Compiled-executable engine load")
+                self._params_dev = (self.params if self._device is not None
+                                    else jax.device_put(self.params, dev))
             fn = self._compiled_fns.get(key)
             first = fn is None
             if first:
@@ -444,12 +467,6 @@ class Engine:
                 # 8-virtual-device CPU test mesh)
                 fn = se.deserialize_and_load(
                     payload, in_tree, out_tree, execution_devices=[dev])
-            if self._params_dev is None:
-                # a compiled binary takes committed device arrays; reuse
-                # self.params when __init__ already committed them to the
-                # engine's device (avoids a second 90+ MB copy)
-                self._params_dev = (self.params if self._device is not None
-                                    else jax.device_put(self.params, dev))
             outs = fn(self._params_dev, jax.device_put(x, dev))
             if first:
                 # fetch the smallest output: block_until_ready is a no-op
