@@ -399,3 +399,68 @@ def test_make_runner_accepts_two_stage_engine(detect_engine,
     assert got[0]["num_dets"] == want[0]["num_dets"]
     np.testing.assert_allclose(got[0]["boxes"], want[0]["boxes"], atol=1e-4)
     np.testing.assert_array_equal(got[0]["cls_labels"], want[0]["cls_labels"])
+
+
+def test_param_dtype_storage_halves_bytes_and_stays_close(classify_engine,
+                                                          tmp_path):
+    """`save_engine(..., param_dtype="bfloat16")` stores floating leaves
+    bf16 — ~half the f32 artifact/wire bytes (cold start on the tunneled
+    rig is wire-dominated, docs/performance.md "Cold-start wire bytes";
+    the fp16-planfile analogue of `/root/reference/test.ipynb` cell 0).
+    Engine restores the stored dtypes verbatim and the forward stays
+    close to the f32 engine's."""
+    import os
+    eng_f32 = Engine(classify_engine)
+    out = str(tmp_path / "cls_bf16")
+    save_engine(out, "classify", eng_f32.params,
+                {"vit_spec": eng_f32.meta["vit_spec"], "num_classes": 5},
+                param_dtype="bfloat16")
+    sz_f32 = os.path.getsize(os.path.join(classify_engine, "params.msgpack"))
+    sz_bf16 = os.path.getsize(os.path.join(out, "params.msgpack"))
+    assert sz_bf16 < 0.62 * sz_f32      # ~0.5 + msgpack key overhead
+    eng = Engine(out)
+    assert eng.meta["param_store_dtype"] == "bfloat16"
+    kinds = {jnp.asarray(l).dtype for l in jax.tree.leaves(eng.params)}
+    assert jnp.dtype(jnp.bfloat16) in kinds
+    x = np.random.default_rng(3).random((2, 32, 32, 3)).astype(np.float32)
+    a = np.asarray(eng_f32(x))
+    b = np.asarray(eng(x))
+    # bf16 weight rounding: logits shift but stay close and co-ranked
+    np.testing.assert_allclose(a, b, atol=0.05 * (a.max() - a.min()) + 1e-3)
+    np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+
+def test_param_dtype_keeps_int8_kernels(tmp_path):
+    """A w8a pre-quantized tree is already at its byte floor: bf16 storage
+    must leave int8 kernels + their shapes untouched and only shrink the
+    floating residue (scales/biases/embeddings)."""
+    import dataclasses
+    from yolov8_vit_tpu.ops.quant import (prequantize_tree,
+                                          MLP_AND_ATTN_SUFFIXES)
+    vs = ViTSpec(img_size=32, patch=8, dim=64, depth=2, heads=4,
+                 backbone_classes=40)
+    model = ViTClassifier(vs, 5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, 32, 32, 3)))
+    q = prequantize_tree(params, MLP_AND_ATTN_SUFFIXES)
+    qs = dataclasses.replace(vs, quant="w8a", attn_impl="fused")
+    out = str(tmp_path / "w8a_bf16")
+    save_engine(out, "classify", q,
+                {"vit_spec": dataclasses.asdict(qs), "num_classes": 5},
+                param_dtype="bfloat16")
+    eng = Engine(out, dtype=jnp.bfloat16)
+    flat_q = jax.tree.flatten_with_path(q)[0]
+    flat_e = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree.flatten_with_path(eng.params)[0]}
+    n_i8 = 0
+    for k, v in flat_q:
+        got = flat_e[jax.tree_util.keystr(k)]
+        assert got.shape == jnp.shape(v)
+        if jnp.asarray(v).dtype == jnp.int8:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(v))
+            n_i8 += 1
+        else:
+            assert jnp.asarray(got).dtype == jnp.bfloat16
+    assert n_i8 > 0
+    x = np.random.default_rng(3).random((1, 32, 32, 3)).astype(np.float32)
+    assert np.asarray(eng(x)).shape == (1, 5)

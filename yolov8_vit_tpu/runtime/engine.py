@@ -62,10 +62,35 @@ TWO_STAGE_OUTPUTS = ("num_dets", "boxes", "det_scores", "det_labels",
                      "final_valid", "cls_labels", "cls_scores")
 
 
-def save_engine(path: str, kind: str, params: Any, meta: dict) -> str:
-    """Serialize an engine directory (the 'build.py' output equivalent)."""
+def save_engine(path: str, kind: str, params: Any, meta: dict,
+                param_dtype=None) -> str:
+    """Serialize an engine directory (the 'build.py' output equivalent).
+
+    `param_dtype="bfloat16"` downcasts every floating leaf before
+    serialization and records `param_store_dtype` in meta.json — HALF the
+    artifact/wire bytes for f32 trees (cold start on a bandwidth-bound
+    link is wire-dominated; docs/performance.md "Cold-start wire bytes").
+    Engine restores the stored dtypes as-is (matmuls run them in the
+    engine's activation dtype), so storage is the numerics change: opt-in,
+    like the reference building its planfiles fp16
+    (`/root/reference/test.ipynb` cell 0).  Integer leaves (pre-quantized
+    int8 kernels) are untouched — a w8a tree is already at its 8-bit byte
+    floor and only its small f32 residue (scales/biases/embeddings)
+    shrinks."""
     os.makedirs(path, exist_ok=True)
     meta = dict(meta, kind=kind)
+    if param_dtype is not None:
+        pd = jnp.dtype(param_dtype)
+        meta["param_store_dtype"] = pd.name
+        import numpy as np
+
+        def _cast(a):
+            # host-side cast (ml_dtypes handles bf16 in numpy): no device
+            # round-trip, and integer leaves (int8 kernels) pass through
+            a = np.asarray(a)
+            return (a.astype(pd)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
+        params = jax.tree.map(_cast, params)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     with open(os.path.join(path, "params.msgpack"), "wb") as f:
@@ -172,16 +197,18 @@ def attach_compiled(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
     os.makedirs(adir, exist_ok=True)
     fingerprint = host_fingerprint(
         platform, device_kind=getattr(jax.devices()[0], "device_kind", None))
-    params_dev = jax.tree.map(jnp.asarray, eng.params)
+    # abstract param specs only: lowering never touches values, and a
+    # device_put of the full tree here would ship 100s of MB over the
+    # tunnel just to read shapes
+    params_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                       jnp.result_type(a)), eng.params)
     in_dtype = eng._input_dtype
     written = []
     for shp in input_shapes:
         jf = jax.jit(eng._forward, compiler_options=eng._copts)
         compiled = jf.lower(
-            jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
-                                               jnp.asarray(a).dtype),
-                params_dev),
+            params_abs,
             jax.ShapeDtypeStruct(tuple(shp), in_dtype)).compile()
         payload, in_tree, out_tree = se.serialize(compiled)
         out = os.path.join(adir, _aot_name(tuple(shp), in_dtype, eng.dtype,
@@ -196,7 +223,8 @@ def attach_compiled(path: str, input_shapes, dtype=jnp.float32) -> list[str]:
 
 def merge_two_stage_engine(out_path: str, detect_engine: str,
                            classify_engine: str,
-                           classify_budget: int = 4) -> str:
+                           classify_budget: int = 4,
+                           param_dtype=None) -> str:
     """Combine a detect engine + a classify engine into ONE deployable
     two-stage artifact (the reference assembles the pair at serve time,
     `/root/reference/app.py:27-31`; this bakes the composition).  The
@@ -220,7 +248,8 @@ def merge_two_stage_engine(out_path: str, detect_engine: str,
     if "det_spec" in meta_d:      # custom depth/width scales
         meta["det_spec"] = meta_d["det_spec"]
     return save_engine(out_path, "two_stage",
-                       {"det": params_d, "vit": params_c}, meta)
+                       {"det": params_d, "vit": params_c}, meta,
+                       param_dtype=param_dtype)
 
 
 def _maybe_nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:

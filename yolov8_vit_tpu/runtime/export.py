@@ -52,7 +52,8 @@ def export_detect(args) -> str:
         "variant": cfg.variant, "num_classes": cfg.num_classes,
         "input_size": list(cfg.input_size), "nms_iou": cfg.nms_iou,
         "nms_conf": cfg.nms_conf, "nms_topk": cfg.nms_topk}}
-    path = save_engine(args.out, "detect", params, meta)
+    path = save_engine(args.out, "detect", params, meta,
+                       param_dtype=args.param_dtype)
     print(f"detect engine written to {path}")
     if args.stablehlo:
         export_stablehlo_detect(params, cfg, args.stablehlo)
@@ -242,7 +243,8 @@ def export_classify(args) -> str:
             attn_impl="fused" if level == "w8a" else spec.attn_impl)
     meta = {"vit_spec": dataclasses.asdict(spec),
             "num_classes": args.num_classes, "model_name": args.model}
-    path = save_engine(args.out, "classify", params, meta)
+    path = save_engine(args.out, "classify", params, meta,
+                       param_dtype=args.param_dtype)
     print(f"classify engine written to {path}")
     if args.stablehlo:
         export_stablehlo_classify(params, spec, args.num_classes,
@@ -305,7 +307,8 @@ def main(argv=None):
     def export_two_stage(args):
         from yolov8_vit_tpu.runtime.engine import merge_two_stage_engine
         path = merge_two_stage_engine(args.out, args.detect_engine,
-                                      args.classify_engine, args.budget)
+                                      args.classify_engine, args.budget,
+                                      param_dtype=args.param_dtype)
         print(f"two-stage engine written to {path}")
         if args.aot or args.compiled:
             import json as _json
@@ -352,6 +355,14 @@ def main(argv=None):
                             "blobs; a blob only matches an Engine opened "
                             "at its dtype, so the default covers both the "
                             "bf16 serving config and f32 parity runs")
+        p.add_argument("--param-dtype", default=None,
+                       choices=["bfloat16", "float16"],
+                       help="store floating param leaves at this dtype "
+                            "(halves f32 artifact/wire bytes — the fp16-"
+                            "planfile analogue; int8 kernels of --quant "
+                            "engines are already at their byte floor). "
+                            "Lossy: opt-in, like the reference's fp16 "
+                            "engine build")
         p.add_argument("--allow-pickle", action="store_true",
                        help="permit full unpickling of the checkpoint "
                             "(required for ultralytics .pt module pickles; "
