@@ -306,3 +306,25 @@ def test_budget2_matches_budget8_and_host_path(tmp_path):
         for a, b in pairs:
             np.testing.assert_allclose(a[1:5], b[1:5], atol=1)   # box px
             np.testing.assert_allclose(a[5], b[5], atol=1e-3)    # det conf
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists("/opt/axon/libaxon_pjrt.so"),
+                    reason="tunnel PJRT plugin absent")
+def test_budget_threeway_fulldim_on_hardware():
+    """Full-dimension closer for the budget-2 semantics (the toy-dim
+    test_budget2_matches_budget8_and_host_path pins the logic; this runs
+    the SAME three-way equality at production shapes — yolov8s@640 +
+    ViT-B/16@224 — on the real chip, scale-window rationale as
+    test_fulldim_parity).  See tests/fulldim_budget_helper.py."""
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)   # let sitecustomize register axon
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = subprocess.run(
+        [sys.executable, os.path.join(repo, "tests",
+                                      "fulldim_budget_helper.py")],
+        capture_output=True, text=True, timeout=1800, env=env)
+    assert "THREEWAY_MATCH" in run.stdout, (
+        f"stdout:\n{run.stdout}\nstderr:\n{run.stderr[-2000:]}")
