@@ -226,9 +226,6 @@ def main() -> None:
                 flat0 = [r for recs in recs0 for r in recs]
                 mean_valid = float(np.mean(
                     [r["final_valid"].sum() for r in flat0]))
-                over0 = sum(int((r["final_valid"]
-                                 & (r["cls_labels"] < 0)).sum())
-                            for r in flat0)
 
                 prof: dict = {}
                 seq = [pools[i % n_pool] for i in range(iters)]
@@ -288,7 +285,10 @@ def main() -> None:
                     "mean_valid_per_img": round(mean_valid, 2),
                     "true_covers_per_img":
                         round(true_covers / (n_pool * batch), 2),
-                    "overflow_dets_per_pool_pass": over0,
+                    # PRE-patch ladder traffic in the timed run (the old
+                    # post-patch count was 0 by construction — the ladder
+                    # had already classified every overflow det)
+                    "overflow_dets_timed": prof.get("overflow_dets", 0),
                     "overflow_ms_total": round(prof.get("overflow_ms",
                                                         0.0), 1),
                     "fetch_ms_total": round(prof.get("fetch_ms", 0.0), 1),

@@ -229,20 +229,45 @@ class BatchRunner:
                            ) -> list[list[dict]]:
         """Throughput-oriented bulk path for DEVICE-RESIDENT frame batches
         (camera DMA rings, a previous pipeline stage, replayed buffers):
-        no decode, no upload.  All fused steps enqueue first with ASYNC
-        result copies (device->host transfers stream behind compute
-        instead of paying a blocking round trip per batch — on the
-        tunneled rig that round trip is ~30 ms against a ~24 ms step);
-        the drain then runs the overflow ladder CROSS-BATCH pipelined:
-        every ladder dispatch for batch i overlaps batch i+1's
-        materialization and the other batches' ladder round trips,
-        bounded by the same in-flight window as `_reclassify_overflow`.
+        no decode, no upload.  Fused steps enqueue a bounded DEPTH ahead
+        of the drain with ASYNC result copies (device->host transfers
+        stream behind compute instead of paying a blocking round trip per
+        batch — on the tunneled rig that round trip is ~30 ms against a
+        ~24 ms step).  The depth bound matters for the overflow ladder:
+        the device queue is FIFO, so a ladder chunk dispatched at drain
+        time executes behind every fused step enqueued so far.  An
+        enqueue-everything-first variant made each chunk wait out the
+        WHOLE remaining queue (patch stalls up to ~230 ms; the bench
+        headline dropped 1,292 -> 590 img/s on a day where 3/16 calibrated
+        pools overflowed — e60, docs/performance.md).  With depth 4, a
+        chunk waits at most ~4 steps (~100 ms) while its patch comes ~8
+        drain iterations (~200 ms) later — never blocking.
 
         Latency-oriented streaming stays `run_stream` (per-request
         yields); this is the bench/bulk analogue.  Returns one rec list
         per input batch, ladder-patched (classify-every-kept-box
         semantics at any density)."""
-        pending = []
+        import time
+        depth = 4
+        pending: deque = deque()
+        window: deque = deque()
+        out = []
+        stats = {"fetch": 0.0, "ladder": 0.0, "over": 0}
+
+        def drain_one():
+            dv, res = pending.popleft()
+            t0 = time.perf_counter()
+            recs = self._unpack(np.asarray(res))
+            t1 = time.perf_counter()
+            for part_dev in self._ladder_dispatch(recs, dv):
+                stats["over"] += len(part_dev[0])
+                window.append(part_dev)
+                if len(window) >= 8:
+                    self._ladder_patch(*window.popleft())
+            stats["fetch"] += t1 - t0
+            stats["ladder"] += time.perf_counter() - t1
+            out.append(recs)
+
         for dv in dev_batches:
             res = self._fn(self.params, dv)
             try:
@@ -250,29 +275,21 @@ class BatchRunner:
             except (AttributeError, RuntimeError):
                 pass   # platform without async host copies: asarray below
             pending.append((dv, res))
-        import time
-        out = []
-        window: deque = deque()
-        t_fetch = t_ladder = 0.0
-        for dv, res in pending:
-            t0 = time.perf_counter()
-            recs = self._unpack(np.asarray(res))
-            t1 = time.perf_counter()
-            for part_dev in self._ladder_dispatch(recs, dv):
-                window.append(part_dev)
-                if len(window) >= 8:
-                    self._ladder_patch(*window.popleft())
-            t_fetch += t1 - t0
-            t_ladder += time.perf_counter() - t1
-            out.append(recs)
+            if len(pending) > depth:
+                drain_one()
+        while pending:
+            drain_one()
         t2 = time.perf_counter()
         while window:
             self._ladder_patch(*window.popleft())
-        t_ladder += time.perf_counter() - t2
+        stats["ladder"] += time.perf_counter() - t2
         if profile is not None:
-            profile["fetch_ms"] = profile.get("fetch_ms", 0.0) + t_fetch * 1e3
+            profile["fetch_ms"] = profile.get("fetch_ms", 0.0) + \
+                stats["fetch"] * 1e3
             profile["overflow_ms"] = profile.get("overflow_ms", 0.0) + \
-                t_ladder * 1e3
+                stats["ladder"] * 1e3
+            profile["overflow_dets"] = profile.get("overflow_dets", 0) + \
+                stats["over"]
         return out
 
     # ------------------------------------------------------------------
@@ -360,10 +377,19 @@ class BatchRunner:
                 slot_img[j] = r
                 slot_boxes[j] = self._host_inflate(
                     recs[r]["boxes"][k:k + 1], w, h)[0]
-            yield ([(recs[r], k) for r, k in part],
-                   self._cls_fn(self.params, dev_batch,
-                                jnp.asarray(slot_img),
-                                jnp.asarray(slot_boxes)))
+            fetched = self._cls_fn(self.params, dev_batch,
+                                   jnp.asarray(slot_img),
+                                   jnp.asarray(slot_boxes))
+            for arr in fetched:
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass   # no async host copies: _ladder_patch blocks
+            # async copies make the later _ladder_patch materialization
+            # ~free; a blocking fetch here costs a full device round trip
+            # per chunk (~75 ms measured on the tunnel vs 0.5 ms async —
+            # e62, docs/performance.md)
+            yield ([(recs[r], k) for r, k in part], fetched)
 
     @staticmethod
     def _ladder_patch(part, fetched) -> None:
