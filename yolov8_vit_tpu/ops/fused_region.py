@@ -92,10 +92,12 @@ def prep_inputs(x_cells: jnp.ndarray) -> jnp.ndarray:
 
 
 def prep_weights(params: dict) -> tuple:
-    """Flat conv param tree (the shipping CellConvBlock/CellC2f layout:
-    b1/conv, cv1/conv, m0/cv1/conv, m0/cv2/conv, cv2/conv with {kernel,
-    bias}) -> the kernel's weight operands.  Uses the same cellconv
-    transforms as the XLA path, so numerics agree by construction."""
+    """Param dict {b1, cv1, m0_cv1, m0_cv2, cv2} -> the kernel's weight
+    operands; each entry holds the flat-conv {conv: {kernel, bias}} shell
+    that CellConvBlock/CellC2f store (models/yolov8.py:265-322 — this
+    module flattens the C2f's m0/cv1, m0/cv2 nesting to single keys).
+    Uses the same cellconv transforms as the XLA path, so numerics agree
+    by construction."""
     def kb(name):
         p = params[name]["conv"]
         return p["kernel"], p["bias"]
